@@ -1,0 +1,33 @@
+"""sdft_tpu — a TPU-native sliding-DFT framework.
+
+A from-scratch JAX/XLA/Pallas implementation of the modulated Sliding
+Discrete Fourier Transform (Duda 2010; Bradford/Dobson/ffitch 2005) with the
+full capability surface of the reference library jurihock/sdft: forward
+analysis, inverse synthesis with latency control, Boxcar/Hann/Hamming/
+Blackman frequency-domain windowing, configurable TD/FD precision, endless
+bounded-memory streaming, and multi-chip sharding over bins/time/channels.
+"""
+
+from .api import isdft, sdft
+from .config import DEFAULT_PRECISION, FAST_PRECISION, Precision
+from .plan import Plan
+from .state import State, init_state, reset_state, state_from_arrays, state_to_arrays
+from .windows import Window
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Plan",
+    "State",
+    "Window",
+    "Precision",
+    "DEFAULT_PRECISION",
+    "FAST_PRECISION",
+    "sdft",
+    "isdft",
+    "init_state",
+    "reset_state",
+    "state_to_arrays",
+    "state_from_arrays",
+    "__version__",
+]

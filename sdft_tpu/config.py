@@ -1,0 +1,79 @@
+"""Precision configuration for the TPU SDFT framework.
+
+The reference keeps time-domain (TD) and frequency-domain (FD) precision
+independently configurable (reference: c/src/sdft/sdft.h:21-37 ``SDFT_TD_*`` /
+``SDFT_FD_*`` macros; cpp/src/sdft/sdft.h:47-48 template params ``SDFT<T, F>``).
+We mirror that with a small frozen dataclass that is hashable, so it can ride
+along as a static argument under ``jax.jit``.
+
+On TPU, float64 is software-emulated and only available when ``jax_enable_x64``
+is on.  ``resolve()`` canonicalizes the requested dtypes against the current
+JAX x64 setting so the library degrades gracefully instead of tracing dtypes
+that the backend will silently downcast.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_REAL_DTYPES = ("float32", "float64")
+
+
+def _complex_of(real_dtype: str) -> str:
+    return {"float32": "complex64", "float64": "complex128"}[real_dtype]
+
+
+@dataclasses.dataclass(frozen=True)
+class Precision:
+    """Time-domain / frequency-domain dtype pair.
+
+    Attributes:
+      td: real dtype name for time-domain samples ("float32" or "float64").
+          Reference default is float (c/src/sdft/sdft.h:101-106).
+      fd: real dtype name underlying frequency-domain complex values
+          ("float32" or "float64").  Reference default/recommendation is
+          double (c/src/sdft/sdft.h:113-118).
+    """
+
+    td: str = "float32"
+    fd: str = "float64"
+
+    def __post_init__(self):
+        if self.td not in _REAL_DTYPES:
+            raise ValueError(f"unsupported td dtype {self.td!r}; pick from {_REAL_DTYPES}")
+        if self.fd not in _REAL_DTYPES:
+            raise ValueError(f"unsupported fd dtype {self.fd!r}; pick from {_REAL_DTYPES}")
+
+    def resolve(self) -> "Precision":
+        """Downgrade float64 requests to float32 when x64 is disabled."""
+        if jax.config.jax_enable_x64:
+            return self
+        td = "float32" if self.td == "float64" else self.td
+        fd = "float32" if self.fd == "float64" else self.fd
+        if (td, fd) == (self.td, self.fd):
+            return self
+        return Precision(td=td, fd=fd)
+
+    # dtype accessors (resolved against the runtime x64 flag)
+    @property
+    def td_dtype(self) -> np.dtype:
+        return jnp.dtype(self.resolve().td)
+
+    @property
+    def fd_dtype(self) -> np.dtype:
+        return jnp.dtype(self.resolve().fd)
+
+    @property
+    def fdx_dtype(self) -> np.dtype:
+        return jnp.dtype(_complex_of(self.resolve().fd))
+
+
+#: Reference-parity default: float TD, double FD (c/src/sdft/sdft.h:101-118).
+DEFAULT_PRECISION = Precision(td="float32", fd="float64")
+
+#: TPU fast path: everything in float32 / complex64.
+FAST_PRECISION = Precision(td="float32", fd="float32")

@@ -1,0 +1,83 @@
+"""WAV I/O matching the reference harness conventions.
+
+Read: any channel count / 8-16-24-32-bit PCM, normalized to [-1, 1] floats
+with the reference's half-step offset convention and mean-mix option
+(reference: test/wav.py:6-30, test/wav.h:38-91).  Write: mono PCM at a
+configurable bit depth, default 32 like the C driver (test/wav.h:93-122).
+
+Implementation is vectorized NumPy over raw frames (the reference Python
+loops per frame; at 350k frames that matters for test latency).
+"""
+
+from __future__ import annotations
+
+import sys
+import wave
+
+import numpy as np
+
+
+def read_wav(path: str, mono: bool = True):
+    """Read a WAV file.
+
+    Returns:
+      (samples, samplerate) where samples is float64 in [-1, 1], shape (n,)
+      when ``mono`` (mean-mix across channels, test/wav.py:28) else (n, C).
+    """
+    with wave.open(path, "rb") as f:
+        sr = f.getframerate()
+        width = f.getsampwidth()
+        channels = f.getnchannels()
+        raw = f.readframes(f.getnframes())
+
+    if width not in (1, 2, 3, 4):
+        raise ValueError(f"unsupported sample width {width}")
+    bits = width * 8
+    scaler = 2.0 ** (bits - 1) - 1
+
+    frames = np.frombuffer(raw, dtype=np.uint8).reshape(-1, width)
+    if sys.byteorder == "big":  # WAV is little-endian on disk
+        frames = frames[:, ::-1]
+    # Little-endian assemble into int32.
+    acc = np.zeros(len(frames), dtype=np.int64)
+    for b in range(width):
+        acc |= frames[:, b].astype(np.int64) << (8 * b)
+    if bits != 8:  # sign-extend
+        signbit = np.int64(1) << (bits - 1)
+        acc = (acc ^ signbit) - signbit
+    data = acc.astype(np.float64).reshape(-1, channels)
+
+    if bits == 8:
+        data -= 128.0
+    data = (data + 0.5) / (scaler + 0.5)
+    data = np.clip(data, -1.0, 1.0)
+    if mono:
+        data = data.mean(axis=-1)
+    return data, sr
+
+
+def write_wav(path: str, samples, samplerate: int, bits: int = 32):
+    """Write mono PCM (reference: test/wav.py:33-57; C driver uses s32)."""
+    data = np.asarray(samples, dtype=np.float64)
+    if data.ndim != 1 or data.size == 0:
+        raise ValueError(f"expected non-empty 1-D samples, got shape {data.shape}")
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported bit depth {bits}")
+    width = bits // 8
+    scaler = 2.0 ** (bits - 1) - 1
+
+    data = np.clip(data, -1.0, 1.0)
+    quant = np.round(data * (scaler + 0.5) - 0.5).astype(np.int64)
+    if bits == 8:
+        quant += 128
+    quant = np.clip(quant, -(2 ** (bits - 1)), 2 ** (bits - 1) - 1)
+
+    frames = np.zeros((quant.size, width), dtype=np.uint8)
+    for b in range(width):
+        frames[:, b] = (quant >> (8 * b)) & 0xFF
+
+    with wave.open(path, "wb") as f:
+        f.setframerate(samplerate)
+        f.setsampwidth(width)
+        f.setnchannels(1)
+        f.writeframes(frames.tobytes())

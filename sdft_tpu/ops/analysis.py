@@ -1,0 +1,78 @@
+"""Forward SDFT analysis as a blockwise scan.
+
+The reference per-sample recursion (c/src/sdft/sdft.h:562-598) is
+
+    delta   = x[t] - x[t-2m]                       (comb / delay stage)
+    acc[i] += T_i^(t mod 2m) * delta               (modulated accumulation)
+    aux[i]  = acc[i] * conj(T_i^((t+1) mod 2m))    (demodulation)
+    dft     = window_convolve(hermitian_pad(aux))  (frequency-domain window)
+
+with T_i = exp(-2*pi*j*i/(2m)).  Because the accumulator is a *plain running
+sum* of exactly-rotated deltas (Duda's modulated SDFT — the stability
+property, README.md:20), a block of M samples becomes:
+
+    rot[k, i] = delta[k] * T_i^((offset+k) mod 2m)     outer product
+    acc[k, i] = carry + inclusive-cumsum_k(rot)        associative scan
+    aux[k, i] = acc[k, i] * conj(T_i^((offset+k+1) mod 2m))
+
+which is the TPU-native form: one O(M*m) elementwise stage, one prefix sum
+along time, one elementwise demodulation — all fusible, shardable along both
+time (scan carry = m complex numbers) and bins (independent except the
+window's 1-2 bin halo).  This mirrors reference Python's vectorization
+(python/src/sdft/sdft.py:76-120) but with exact mod-2m integer phases, so
+there is no drift for endless streams (see sdft_tpu.ops.twiddle).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..plan import Plan
+from ..state import State
+from .convolve import window_convolve
+from .twiddle import fiddle_rows
+
+
+def sdft_block(plan: Plan, state: State, samples: jnp.ndarray):
+    """Process one block of samples for a single channel.
+
+    Args:
+      plan: static SDFT plan.
+      state: carry state (unbatched: offset (), delayline (2m,), acc (m,)).
+      samples: (M,) real time-domain samples.
+
+    Returns:
+      (new_state, dfts) with dfts of shape (M, m) complex — one spectrum per
+      input sample, matching sdft_sdft_n (c/src/sdft/sdft.h:607-613).
+    """
+    m = plan.dftsize
+    n2 = 2 * m
+    td = plan.precision.td_dtype
+    fd = plan.precision.fd_dtype
+    (M,) = samples.shape
+
+    samples = samples.astype(td)
+    # Comb stage: delta[k] = x[k] - x[k-2m], served by the delayline.  The
+    # subtraction happens in TD precision, then feeds FD math, exactly as the
+    # reference (c/src/sdft/sdft.h:564).
+    line = jnp.concatenate([state.delayline, samples], axis=-1)
+    delta = (samples - line[:M]).astype(fd)
+    new_delayline = line[M:]
+
+    k = jnp.arange(M, dtype=jnp.int32)
+    e = state.offset.astype(jnp.int32) + k  # reduced mod 2m inside fiddle_rows
+
+    rot = delta[:, None].astype(plan.precision.fdx_dtype) * fiddle_rows(plan, e)
+    rot = rot.at[0, :].add(state.accumulator)
+    acc = jnp.cumsum(rot, axis=0)
+    new_accumulator = acc[-1, :]
+
+    aux = acc * fiddle_rows(plan, e + 1, conj=True)
+    dfts = window_convolve(plan, aux)
+
+    new_state = State(
+        offset=jnp.mod(state.offset + M, n2).astype(state.offset.dtype),
+        delayline=new_delayline,
+        accumulator=new_accumulator,
+    )
+    return new_state, dfts

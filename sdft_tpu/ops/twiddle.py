@@ -1,0 +1,67 @@
+"""Exact twiddle/phasor construction from integer exponents.
+
+The analysis twiddle for bin i is T_i = exp(-2*pi*j * i / (2m))
+(reference: c/src/sdft/sdft.h:439,444; python/src/sdft/sdft.py:54).  Every
+phasor the algorithm ever needs is an integer power T_i^e, i.e. a (2m)-th
+root of unity.  We therefore compute the exponent product ``(e * i) mod 2m``
+in integer arithmetic — exact for any stream position — and take cos/sin of
+the reduced angle.  This combines reference C's periodic phase reset
+(c/src/sdft/sdft.h:566-576, exactness every 2m samples) with reference
+Python's block vectorization (sdft.py:103-106) while beating both: there is
+no drift *within* the period either.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..plan import Plan
+
+
+def fiddle_rows(plan: Plan, exponents: jnp.ndarray, conj: bool = False,
+                bins: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Phasor matrix P[k, i] = T_i ** exponents[k] (optionally conjugated).
+
+    Args:
+      plan: static SDFT plan.
+      exponents: (M,) int32 exponents; any sign/magnitude (reduced mod 2m).
+      conj: if True, return conj(P) == T_i ** -e.
+      bins: optional (B,) int32 bin indices (for bin-sharded execution);
+        defaults to arange(m).
+
+    Returns:
+      (M, B) complex array in plan FD precision.
+    """
+    m = plan.dftsize
+    n2 = 2 * m
+    if bins is None:
+        bins = jnp.arange(m, dtype=jnp.int32)
+    e = jnp.mod(exponents.astype(jnp.int32), n2)
+    # (e * i) stays within int32: e < 2m, i < m, and plan enforces 2m*m < 2^31.
+    r = jnp.mod(e[:, None] * bins[None, :].astype(jnp.int32), n2)
+    sign = 1.0 if conj else -1.0
+    omega = sign * np.pi / m  # conj flips exp(-j..) -> exp(+j..)
+    angle = (omega * r).astype(plan.precision.fd_dtype)
+    return jnp.cos(angle) + 1j * jnp.sin(angle)
+
+
+def synthesis_twiddles(plan: Plan) -> jnp.ndarray:
+    """Per-bin inverse-synthesis phasors including amplitude demodulation.
+
+    For latency == 1 this is the alternating-sign vector (-1)^i — a circular
+    half-window time shift (c/src/sdft/sdft.h:639-645; sdft.py:57-60).  For
+    latency < 1: polar(w, omega*i*m*latency) with w = 2/(1-cos(omega*m*latency))
+    (c/src/sdft/sdft.h:440,445; sdft.py:55,62-65).
+
+    Returns (m,) complex in FD precision (real-valued content when latency==1).
+    """
+    m = plan.dftsize
+    fd = plan.precision.fd_dtype
+    i = jnp.arange(m, dtype=jnp.int32)
+    if plan.latency == 1.0:
+        alt = jnp.where(i % 2 == 0, 1.0, -1.0).astype(fd)
+        return alt.astype(plan.precision.fdx_dtype)
+    angle = (-np.pi * plan.latency * i).astype(fd)
+    w = jnp.asarray(2.0 / (1.0 - np.cos(np.pi * plan.latency)), fd)
+    return w * (jnp.cos(angle) + 1j * jnp.sin(angle))

@@ -1,0 +1,169 @@
+"""Differential tests: JAX blockwise path vs the naive per-sample oracle.
+
+Mirrors the reference's cross-implementation strategy (test/main.py:67-79):
+independent implementations of the same math must agree to tight tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import sdft_tpu
+from sdft_tpu import Plan, Precision, init_state, isdft, sdft
+
+from reference_impl import NaiveSDFT
+
+WINDOWS = ["boxcar", "hann", "hamming", "blackman"]
+
+
+def _signal(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(n) * 0.25).clip(-1, 1)
+
+
+@pytest.mark.parametrize("window", WINDOWS)
+def test_forward_matches_oracle(window):
+    m = 32
+    n = 5 * m  # crosses the 2m phase-reset boundary twice
+    x = _signal(n)
+
+    oracle = NaiveSDFT(m, window)
+    want = oracle.sdft(x)
+
+    plan = Plan(m, window=window)
+    state = init_state(plan)
+    state, got = sdft(plan, state, x)
+
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-12, rtol=1e-9)
+
+
+@pytest.mark.parametrize("latency", [1.0, 0.5, 0.25])
+def test_inverse_matches_oracle(latency):
+    m = 24
+    rng = np.random.default_rng(1)
+    dfts = (rng.standard_normal((10, m)) + 1j * rng.standard_normal((10, m))) / m
+
+    oracle = NaiveSDFT(m, "hann", latency)
+    want = oracle.isdft(dfts)
+
+    plan = Plan(m, window="hann", latency=latency)
+    got = isdft(plan, dfts)
+
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6, rtol=1e-5)
+
+
+def test_chunking_invariance():
+    """Processing n samples under any hop partition yields identical output
+    (the reference's streaming contract, test/test.c:69-83)."""
+    m = 16
+    x = _signal(7 * m + 3)
+    plan = Plan(m)
+
+    state = init_state(plan)
+    _, whole = sdft(plan, state, x)
+
+    for hops in ([1] * len(x), [5, 31, 64, 3, len(x) - 103]):
+        state = init_state(plan)
+        parts = []
+        i = 0
+        for h in hops:
+            state, d = sdft(plan, state, x[i:i + h])
+            parts.append(np.asarray(d))
+            i += h
+        chunked = np.concatenate(parts)
+        np.testing.assert_allclose(chunked, np.asarray(whole), atol=1e-12, rtol=1e-9)
+
+
+def test_reset_semantics():
+    """reset reproduces time zero exactly (c/src/sdft/sdft.h:517-529)."""
+    m = 16
+    x = _signal(3 * m)
+    plan = Plan(m)
+
+    state = init_state(plan)
+    state, first = sdft(plan, state, x)
+    state = sdft_tpu.reset_state(plan, state)
+    _, second = sdft(plan, state, x)
+
+    np.testing.assert_array_equal(np.asarray(first), np.asarray(second))
+
+
+def test_endless_stream_phase_exactness():
+    """After many 2m periods the phases must not drift: feeding the same
+    periodic input must yield the same spectrum at the same phase position."""
+    m = 8
+    plan = Plan(m, window="boxcar")
+    period = 2 * m
+    x = _signal(period)
+
+    state = init_state(plan)
+    outs = []
+    for _ in range(50):  # 50 periods = 800 samples
+        state, d = sdft(plan, state, x)
+        outs.append(np.asarray(d))
+    # Steady state is reached once the delayline is full (after 1 period);
+    # from then on every period must be bit-identical (exact phases, and the
+    # accumulator returns to the same value since deltas cancel periodically).
+    for k in range(2, 50):
+        np.testing.assert_allclose(outs[k], outs[1], atol=1e-12)
+
+
+def test_multichannel_vmap_matches_loop():
+    m = 16
+    C = 3
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((C, 4 * m)).clip(-1, 1)
+    plan = Plan(m)
+
+    state = init_state(plan, channels=C)
+    state, got = sdft(plan, state, x)
+
+    for c in range(C):
+        st = init_state(plan)
+        _, want = sdft(plan, st, x[c])
+        np.testing.assert_allclose(np.asarray(got[c]), np.asarray(want), atol=1e-12)
+
+
+def _snr_db(x, y, delay):
+    """Reference quality metric (python/examples/latency.py:50-57)."""
+    xa, ya = x[:x.size - delay], y[delay:]
+    return 10 * np.log10(np.mean(xa**2) / np.mean((ya - xa) ** 2))
+
+
+@pytest.mark.parametrize("latency", [1.0, 0.5])
+def test_roundtrip_snr_matches_oracle(latency):
+    """Round-trip SNR must equal the oracle's SNR on the same signal.
+
+    The SDFT round trip is windowed, not perfect reconstruction — on white
+    noise at m=64 the reference itself yields ~19.5 dB (latency 1) — so the
+    gate is parity with the oracle, not an absolute SNR.
+    """
+    m = 64
+    n = 40 * m
+    x = _signal(n, seed=3)
+    plan = Plan(m, window="hann", latency=latency)
+
+    state = init_state(plan)
+    _, dfts = sdft(plan, state, x)
+    y = np.asarray(isdft(plan, dfts), dtype=np.float64)
+
+    oracle = NaiveSDFT(m, "hann", latency)
+    y_ref = oracle.isdft(oracle.sdft(x)).astype(np.float64)
+
+    np.testing.assert_allclose(y, y_ref, atol=1e-6)
+    snr = _snr_db(x, y, plan.synthesis_delay)
+    snr_ref = _snr_db(x, y_ref, plan.synthesis_delay)
+    assert abs(snr - snr_ref) < 0.01, (snr, snr_ref)
+    # sanity floor: the round trip is meaningful, not garbage
+    assert snr > 15.0
+
+
+def test_float32_fd_precision_close_to_float64():
+    m = 32
+    x = _signal(6 * m)
+    p64 = Plan(m)
+    p32 = Plan(m, precision=Precision(td="float32", fd="float32"))
+
+    _, d64 = sdft(p64, init_state(p64), x)
+    _, d32 = sdft(p32, init_state(p32), x)
+
+    np.testing.assert_allclose(np.asarray(d32), np.asarray(d64), atol=5e-5)
