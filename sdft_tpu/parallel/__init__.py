@@ -1,0 +1,23 @@
+from .mesh import AXES, make_mesh, single_device_mesh
+from .sharded import (
+    DFT_SPEC,
+    SAMPLE_SPEC,
+    STATE_SPECS,
+    sharded_isdft,
+    sharded_roundtrip,
+    sharded_sdft,
+    state_sharding,
+)
+
+__all__ = [
+    "AXES",
+    "make_mesh",
+    "single_device_mesh",
+    "sharded_sdft",
+    "sharded_isdft",
+    "sharded_roundtrip",
+    "state_sharding",
+    "STATE_SPECS",
+    "SAMPLE_SPEC",
+    "DFT_SPEC",
+]

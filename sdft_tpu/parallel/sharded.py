@@ -1,0 +1,265 @@
+"""SPMD sharded SDFT/iSDFT over a ('channel', 'time', 'bins') mesh.
+
+One shard_map program computes the full forward (and optionally the inverse)
+with all cross-device traffic expressed as XLA collectives riding ICI:
+
+  * time axis  — each device scans its contiguous sample block locally
+    (cumsum), then per-device block totals are combined into an exclusive
+    prefix via all_gather + masked sum: the inter-block carry combine of the
+    associative scan.  The predecessor's 2m-sample tail (comb-stage history)
+    arrives via ppermute.
+  * bins axis  — rotation/scan/demodulation are bin-local; the 3/5-tap
+    window convolution exchanges a 1-2 column halo with neighbor shards via
+    ppermute, while edge shards synthesize Hermitian guards locally
+    (the sharded analogue of c/src/sdft/sdft.h:589-595).
+  * channel axis — fully independent; no collectives.
+  * inverse    — bin-partial synthesis matvecs reduced with psum over 'bins'
+    (the sharded analogue of the reduction at c/src/sdft/sdft.h:639-653).
+
+Layout contracts (asserted):
+  samples (C, M): C % mesh.channel == 0, M % mesh.time == 0, and the local
+  block length M/time must be >= 2m (comb history spans one predecessor).
+  dftsize m % mesh.bins == 0, and m/bins > window halo.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..plan import Plan
+from ..state import State
+from ..windows import WINDOW_HALO, Window
+from ..ops.convolve import window_convolve
+from ..ops.twiddle import fiddle_rows, synthesis_twiddles
+
+# Sharding specs for the batched State pytree: accumulator shards over bins,
+# offset/delayline replicate over time and bins.
+STATE_SPECS = State(
+    offset=P("channel"),
+    delayline=P("channel", None),
+    accumulator=P("channel", "bins"),
+)
+SAMPLE_SPEC = P("channel", "time")
+DFT_SPEC = P("channel", "time", "bins")
+
+
+def state_sharding(mesh: Mesh) -> State:
+    """NamedShardings for placing a batched State onto the mesh."""
+    return State(*[NamedSharding(mesh, s) for s in STATE_SPECS])
+
+
+def _exclusive_prefix(local_total, axis: str):
+    """Sum of block totals from devices strictly before this one, plus the
+    grand total over all devices.  The inter-block carry combine."""
+    gathered = lax.all_gather(local_total, axis)          # (D, ...) on every device
+    d = lax.axis_index(axis)
+    ndev = lax.axis_size(axis)
+    mask = (jnp.arange(ndev) < d).astype(gathered.dtype)
+    shape = (ndev,) + (1,) * (gathered.ndim - 1)
+    prefix = (gathered * mask.reshape(shape)).sum(axis=0)
+    grand = gathered.sum(axis=0)
+    return prefix, grand
+
+
+def _bin_halo_exchange(aux, halo: int, axis: str):
+    """Pad local bin columns with neighbor halos; Hermitian guards at edges.
+
+    aux: (C, L, mb) complex.  Returns (C, L, mb + 2*halo).
+    """
+    if halo == 0:
+        return aux
+    b = lax.axis_index(axis)
+    nb = lax.axis_size(axis)
+
+    # Receive the left neighbor's last columns / right neighbor's first ones.
+    fwd = [(i, (i + 1) % nb) for i in range(nb)]   # data flows right
+    bwd = [(i, (i - 1) % nb) for i in range(nb)]   # data flows left
+    from_left = lax.ppermute(aux[..., -halo:], axis, fwd)
+    from_right = lax.ppermute(aux[..., :halo], axis, bwd)
+
+    # Edge shards: mirror conjugates around DC / Nyquist
+    # (c/src/sdft/sdft.h:589-595).  Wrap-around ppermute data is discarded.
+    herm_left = jnp.conj(aux[..., 1:halo + 1][..., ::-1])
+    herm_right = jnp.conj(aux[..., -halo - 1:-1][..., ::-1])
+    left = jnp.where(b == 0, herm_left, from_left)
+    right = jnp.where(b == nb - 1, herm_right, from_right)
+    return jnp.concatenate([left, aux, right], axis=-1)
+
+
+def _forward_local(plan: Plan, state: State, samples, *, m_total: int):
+    """Per-device forward body.  samples (C, L) local block; state batched
+    with accumulator already bin-sharded to (C, mb)."""
+    m = plan.dftsize
+    n2 = 2 * m
+    td = plan.precision.td_dtype
+    fd = plan.precision.fd_dtype
+    cd = plan.precision.fdx_dtype
+    C, L = samples.shape
+    mb = state.accumulator.shape[-1]
+
+    d = lax.axis_index("time")
+    ndev = lax.axis_size("time")
+    b0 = lax.axis_index("bins") * mb
+    bins = b0 + jnp.arange(mb, dtype=jnp.int32)
+
+    samples = samples.astype(td)
+
+    # --- comb stage: history = predecessor tail (ppermute) or delayline ----
+    tail = samples[:, -n2:]  # L >= 2m enforced by caller
+    fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+    prev_tail = lax.ppermute(tail, "time", fwd)
+    hist_src = jnp.where(d == 0, state.delayline, prev_tail)
+    line = jnp.concatenate([hist_src, samples], axis=-1)
+    delta = (samples - line[:, :L]).astype(fd)
+
+    # --- rotation with exact mod-2m phases --------------------------------
+    start = state.offset.astype(jnp.int32)[:, None] + d * L  # (C, 1)
+    e = start + jnp.arange(L, dtype=jnp.int32)[None, :]      # (C, L)
+    # fiddle_rows is unbatched over channels; offsets differ per channel, so
+    # vmap the phase construction (cheap integer work + cos/sin).
+    fid = jax.vmap(lambda ek: fiddle_rows(plan, ek, bins=bins))(e)        # (C, L, mb)
+    rot = delta[..., None].astype(cd) * fid
+
+    # Seed the scan with the carried accumulator on the first time shard.
+    acc_seed = jnp.where(d == 0, state.accumulator, jnp.zeros_like(state.accumulator))
+    rot = rot.at[:, 0, :].add(acc_seed)
+
+    # --- local scan + inter-block carry combine ---------------------------
+    cum = jnp.cumsum(rot, axis=1)
+    local_total = cum[:, -1, :]                      # (C, mb)
+    prefix, grand_total = _exclusive_prefix(local_total, "time")
+    cum = cum + prefix[:, None, :]
+
+    # --- demodulation + windowing -----------------------------------------
+    demod = jax.vmap(lambda ek: fiddle_rows(plan, ek + 1, conj=True, bins=bins))(e)
+    aux = cum * demod
+    halo = WINDOW_HALO[plan.window]
+    padded = _bin_halo_exchange(aux, halo, "bins")
+    dfts = window_convolve(plan, padded, edges=False)
+
+    # --- next state -------------------------------------------------------
+    tails = lax.all_gather(tail, "time")             # (D, C, 2m)
+    new_delayline = tails[-1].astype(td)
+    new_state = State(
+        offset=jnp.mod(state.offset + m_total, n2).astype(state.offset.dtype),
+        delayline=new_delayline,
+        accumulator=grand_total,
+    )
+    return new_state, dfts
+
+
+def _inverse_local(plan: Plan, dfts, *, bins_sharded: bool):
+    """Per-device synthesis: local bin partial + psum over 'bins'."""
+    fd = plan.precision.fd_dtype
+    mb = dfts.shape[-1]
+    b0 = lax.axis_index("bins") * mb
+    tw = synthesis_twiddles(plan)
+    tw = lax.dynamic_slice_in_dim(tw, b0, mb) if bins_sharded else tw
+    re = jnp.real(dfts).astype(fd)
+    y = jnp.einsum("csm,m->cs", re, jnp.real(tw), preferred_element_type=fd)
+    if plan.latency != 1.0:
+        im = jnp.imag(dfts).astype(fd)
+        y = y - jnp.einsum("csm,m->cs", im, jnp.imag(tw), preferred_element_type=fd)
+    y = lax.psum(y, "bins")
+    y = y * jnp.asarray(plan.synthesis_weight, fd)
+    return y.astype(plan.precision.td_dtype)
+
+
+def _check_layout(plan: Plan, mesh: Mesh, C: int, M: int):
+    ax = dict(zip(mesh.axis_names, mesh.devices.shape))
+    nc, nt, nb = ax["channel"], ax["time"], ax["bins"]
+    if C % nc:
+        raise ValueError(f"channels {C} not divisible by mesh channel={nc}")
+    if M % nt:
+        raise ValueError(f"block {M} not divisible by mesh time={nt}")
+    if nt > 1 and M // nt < 2 * plan.dftsize:
+        raise ValueError(
+            f"local time block {M // nt} < 2m={2 * plan.dftsize}; comb history "
+            f"spans more than one predecessor — use longer blocks or fewer "
+            f"time shards")
+    if plan.dftsize % nb:
+        raise ValueError(f"dftsize {plan.dftsize} not divisible by mesh bins={nb}")
+    if nb > 1 and plan.dftsize // nb <= WINDOW_HALO[plan.window]:
+        raise ValueError("bin shard smaller than window halo")
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _sharded_sdft_jit(plan: Plan, mesh: Mesh, state: State, samples):
+    m_total = samples.shape[-1]
+    body = functools.partial(_forward_local, plan, m_total=m_total)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(STATE_SPECS, SAMPLE_SPEC),
+        out_specs=(STATE_SPECS, DFT_SPEC),
+        check_vma=False,
+    )(state, samples)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _sharded_isdft_jit(plan: Plan, mesh: Mesh, dfts):
+    nb = dict(zip(mesh.axis_names, mesh.devices.shape))["bins"]
+    body = functools.partial(_inverse_local, plan, bins_sharded=nb > 1)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(DFT_SPEC,),
+        out_specs=SAMPLE_SPEC,
+        check_vma=False,
+    )(dfts)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _sharded_roundtrip_jit(plan: Plan, mesh: Mesh, state: State, samples):
+    """Fused forward+inverse: spectra never leave their shard."""
+    m_total = samples.shape[-1]
+    nb = dict(zip(mesh.axis_names, mesh.devices.shape))["bins"]
+
+    def body(st, x):
+        new_st, dfts = _forward_local(plan, st, x, m_total=m_total)
+        y = _inverse_local(plan, dfts, bins_sharded=nb > 1)
+        return new_st, y
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(STATE_SPECS, SAMPLE_SPEC),
+        out_specs=(STATE_SPECS, SAMPLE_SPEC),
+        check_vma=False,
+    )(state, samples)
+
+
+def sharded_sdft(plan: Plan, mesh: Mesh, state: State, samples):
+    """Forward analysis over the mesh.
+
+    Args:
+      plan: static plan.
+      mesh: ('channel', 'time', 'bins') mesh from make_mesh.
+      state: batched State (leading channel axis on all leaves).
+      samples: (C, M) samples.
+
+    Returns:
+      (new_state, dfts) with dfts (C, M, m) sharded (channel, time, bins).
+    """
+    samples = jnp.asarray(samples)
+    C, M = samples.shape
+    _check_layout(plan, mesh, C, M)
+    return _sharded_sdft_jit(plan, mesh, state, samples)
+
+
+def sharded_isdft(plan: Plan, mesh: Mesh, dfts):
+    """Inverse synthesis over the mesh; dfts (C, M, m) -> samples (C, M)."""
+    dfts = jnp.asarray(dfts)
+    C, M, _ = dfts.shape
+    _check_layout(plan, mesh, C, M)
+    return _sharded_isdft_jit(plan, mesh, dfts)
+
+
+def sharded_roundtrip(plan: Plan, mesh: Mesh, state: State, samples):
+    """Fused analysis+synthesis step (the flagship full-step program)."""
+    samples = jnp.asarray(samples)
+    C, M = samples.shape
+    _check_layout(plan, mesh, C, M)
+    return _sharded_roundtrip_jit(plan, mesh, state, samples)

@@ -1,0 +1,123 @@
+"""Sharded == unsharded equivalence on a virtual 8-device CPU mesh
+(SURVEY.md §4c: shard-count invariance is the race/correctness gate at
+collective boundaries)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sdft_tpu import Plan, Precision, init_state, isdft, sdft
+from sdft_tpu.parallel import make_mesh, sharded_isdft, sharded_roundtrip, sharded_sdft
+
+F64 = Precision(td="float64", fd="float64")
+
+
+def _signal(c, n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((c, n)).clip(-1, 1)
+
+
+def _unsharded(plan, x):
+    state = init_state(plan, channels=x.shape[0])
+    state, dfts = sdft(plan, state, x)
+    return state, np.asarray(dfts)
+
+
+MESHES = [
+    dict(channel=1, time=1, bins=8),
+    dict(channel=1, time=8, bins=1),
+    dict(channel=2, time=2, bins=2),
+    dict(channel=1, time=2, bins=4),
+]
+
+
+@pytest.mark.parametrize("axes", MESHES, ids=lambda a: "x".join(map(str, a.values())))
+@pytest.mark.parametrize("window", ["hann", "blackman"])
+def test_sharded_forward_matches_unsharded(axes, window):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    m = 32
+    C, M = 2, 8 * 2 * m  # local block 2m even at time=8
+    x = _signal(C, M)
+    plan = Plan(m, window=window, precision=F64)
+    mesh = make_mesh(**axes)
+
+    ref_state, ref_dfts = _unsharded(plan, x)
+
+    state = init_state(plan, channels=C)
+    new_state, dfts = sharded_sdft(plan, mesh, state, x)
+
+    np.testing.assert_allclose(np.asarray(dfts), ref_dfts, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(new_state.accumulator),
+                               np.asarray(ref_state.accumulator), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(new_state.offset),
+                                  np.asarray(ref_state.offset))
+    np.testing.assert_allclose(np.asarray(new_state.delayline),
+                               np.asarray(ref_state.delayline), atol=0)
+
+
+def test_sharded_streaming_carry():
+    """Two consecutive sharded blocks == one unsharded pass."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    m = 16
+    C, M = 1, 4 * 2 * m
+    x = _signal(C, 2 * M, seed=1)
+    plan = Plan(m, precision=F64)
+    mesh = make_mesh(channel=1, time=2, bins=2)
+
+    _, ref_dfts = _unsharded(plan, x)
+
+    state = init_state(plan, channels=C)
+    state, d1 = sharded_sdft(plan, mesh, state, x[:, :M])
+    state, d2 = sharded_sdft(plan, mesh, state, x[:, M:])
+    got = np.concatenate([np.asarray(d1), np.asarray(d2)], axis=1)
+
+    np.testing.assert_allclose(got, ref_dfts, atol=1e-12)
+
+
+@pytest.mark.parametrize("latency", [1.0, 0.5])
+def test_sharded_isdft_matches_unsharded(latency):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    m = 32
+    C, M = 2, 128
+    rng = np.random.default_rng(2)
+    dfts = (rng.standard_normal((C, M, m)) + 1j * rng.standard_normal((C, M, m))) / m
+    plan = Plan(m, latency=latency, precision=F64)
+    mesh = make_mesh(channel=2, time=2, bins=2)
+
+    want = np.asarray(isdft(plan, dfts))
+    got = np.asarray(sharded_isdft(plan, mesh, dfts))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_sharded_roundtrip_fused():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    m = 32
+    C, M = 2, 2 * 2 * m
+    x = _signal(C, M, seed=3)
+    plan = Plan(m, precision=F64)
+    mesh = make_mesh(channel=2, time=2, bins=2)
+
+    state = init_state(plan, channels=C)
+    _, dfts = sdft(plan, state, x)
+    want = np.asarray(isdft(plan, dfts))
+
+    state = init_state(plan, channels=C)
+    _, y = sharded_roundtrip(plan, mesh, state, x)
+    np.testing.assert_allclose(np.asarray(y), want, atol=1e-12)
+
+
+def test_layout_validation():
+    plan = Plan(32, precision=F64)
+    mesh = make_mesh(channel=1, time=2, bins=1)
+    state = init_state(plan, channels=1)
+    x = np.zeros((1, 100))  # 100 not divisible by 2... actually 50 < 2m
+    with pytest.raises(ValueError):
+        sharded_sdft(plan, mesh, state, x)
+    with pytest.raises(ValueError):
+        sharded_sdft(plan, make_mesh(bins=3), init_state(plan, channels=1),
+                     np.zeros((1, 128)))
