@@ -10,6 +10,7 @@ bounded-memory streaming, and multi-chip sharding over bins/time/channels.
 
 from .api import isdft, sdft
 from .config import DEFAULT_PRECISION, FAST_PRECISION, Precision
+from .cplx import from_complex, to_complex
 from .plan import Plan
 from .state import State, init_state, reset_state, state_from_arrays, state_to_arrays
 from .windows import Window
@@ -25,6 +26,8 @@ __all__ = [
     "FAST_PRECISION",
     "sdft",
     "isdft",
+    "to_complex",
+    "from_complex",
     "init_state",
     "reset_state",
     "state_to_arrays",

@@ -2,13 +2,18 @@
 
 The functional API is
 
-    state, dfts = sdft(plan, state, samples)
+    state, dfts = sdft(plan, state, samples)   # dfts packed (..., M, m, 2)
     samples     = isdft(plan, dfts)
 
 where ``samples`` may be (M,) for one channel or (C, M) for a multi-channel
 batch (reference mean-mixes to mono and has no batching — test/wav.h:69-84;
 here channels vmap and shard for free).  ``plan`` is static: the first call
 per (plan, shape) pair compiles, later calls hit the jit cache.
+
+Spectra cross jit boundaries in the packed real layout (trailing axis 2 =
+re/im; see sdft_tpu.cplx) because this TPU runtime cannot materialize or
+transfer complex buffers.  Use ``cplx.to_complex`` on host to get numpy
+complex matrices, or the compat.SDFT class which does it for you.
 """
 
 from __future__ import annotations
@@ -17,7 +22,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from .cplx import from_complex
 from .ops.analysis import sdft_block
 from .ops.synthesis import isdft_block
 from .plan import Plan
@@ -48,7 +55,7 @@ def sdft(plan: Plan, state: State, samples) -> tuple[State, jax.Array]:
       samples: (M,) or (C, M) real samples.
 
     Returns:
-      (new_state, dfts) with dfts (M, m) or (C, M, m) complex.
+      (new_state, dfts) with dfts packed (M, m, 2) or (C, M, m, 2).
     """
     samples = jnp.asarray(samples)
     if samples.ndim == 1:
@@ -59,8 +66,15 @@ def sdft(plan: Plan, state: State, samples) -> tuple[State, jax.Array]:
 
 
 def isdft(plan: Plan, dfts) -> jax.Array:
-    """Inverse synthesis: one sample per spectrum (c/src/sdft/sdft.h:666-672)."""
+    """Inverse synthesis: one sample per spectrum (c/src/sdft/sdft.h:666-672).
+
+    Accepts packed (..., M, m, 2) arrays (device or host) or complex numpy
+    matrices (converted on host).
+    """
+    if isinstance(dfts, np.ndarray) and np.iscomplexobj(dfts):
+        dfts = from_complex(dfts, dtype=np.dtype(plan.precision.fd_dtype))
     dfts = jnp.asarray(dfts)
-    if dfts.ndim not in (2, 3):
-        raise ValueError(f"dfts must be (M, m) or (C, M, m), got {dfts.shape}")
+    if dfts.ndim not in (3, 4) or dfts.shape[-1] != 2:
+        raise ValueError(
+            f"dfts must be packed (M, m, 2) or (C, M, m, 2), got {dfts.shape}")
     return _isdft(plan, dfts)

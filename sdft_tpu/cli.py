@@ -1,0 +1,87 @@
+"""Reference-protocol CLI driver.
+
+Mirrors the reference test drivers' 7-positional-argument protocol
+(test/test.c:41-47, test/test.py:16-22):
+
+    python -m sdft_tpu <dftsize> <hopsize> <window> <latency> <src.wav> <out.wav> <out.dft>
+
+Reads the source WAV (mean-mixed to mono), truncates to whole hops, round
+trips each hop through sdft/isdft carrying state, writes the synthesized WAV
+and dumps the first DFT vector of every hop as raw complex128 — byte-for-byte
+the comparator format of test/main.py:46-49.
+
+Extra optional flags (after the 7 positionals):
+  --fd32        use float32 frequency-domain math (TPU fast path)
+  --block N     process N-sample blocks internally instead of per-hop calls
+                (identical output by chunking invariance; much faster on TPU)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from .config import Precision
+from .cplx import to_complex
+from .io.dump import dump_complex
+from .io.wav import read_wav, write_wav
+from .plan import Plan
+from .state import init_state
+from .api import isdft, sdft
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) < 7:
+        print(__doc__)
+        return 1
+
+    dftsize = int(argv[0])
+    hopsize = int(argv[1])
+    window = argv[2]
+    latency = float(argv[3])
+    srcfile, wavfile, dftfile = argv[4:7]
+    extras = argv[7:]
+    fd = "float32" if "--fd32" in extras else "float64"
+    block = hopsize
+    if "--block" in extras:
+        block = int(extras[extras.index("--block") + 1])
+    if block % hopsize:
+        raise SystemExit(f"--block {block} must be a multiple of hopsize {hopsize}")
+
+    precision = Precision(td="float32" if fd == "float32" else "float64", fd=fd)
+    plan = Plan(dftsize, window=window, latency=latency, precision=precision)
+
+    x, sr = read_wav(srcfile)
+    print(f"TPU\t{srcfile} {x.size} {sr}")
+    size = (x.size // hopsize) * hopsize
+    x = x[:size]
+
+    state = init_state(plan)
+    ys = []
+    hop_dfts = []
+    progress = 0
+    t0 = time.perf_counter()
+    for i in range(0, size, block):
+        state, dfts = sdft(plan, state, x[i:i + block])
+        ys.append(np.asarray(isdft(plan, dfts)))
+        # keep the DFT vector of each hop's first sample (test/test.c:82)
+        hop_dfts.append(to_complex(np.asarray(dfts)[::hopsize]))
+        percent = (i + block) / size
+        if int(percent * 10) != progress:
+            progress = int(percent * 10)
+            print(f"{progress * 10}%")
+    elapsed = time.perf_counter() - t0
+
+    y = np.concatenate(ys).astype(np.float64)
+    dfts_out = np.concatenate(hop_dfts)
+    write_wav(wavfile, y, sr)
+    dump_complex(dftfile, dfts_out)
+    print(f"{size} samples in {elapsed:.3f}s = {size / elapsed:,.0f} samples/s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

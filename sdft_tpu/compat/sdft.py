@@ -13,6 +13,7 @@ import numpy as np
 
 from ..api import isdft as _isdft
 from ..api import sdft as _sdft
+from ..cplx import from_complex, to_complex
 from ..config import DEFAULT_PRECISION, Precision
 from ..plan import Plan
 from ..state import init_state, reset_state
@@ -62,11 +63,12 @@ class SDFT:
         if samples.ndim != 1:
             raise ValueError(f"Expected 1D array (samples,), got {samples.shape}!")
         self._state, dfts = _sdft(self.plan, self._state, samples)
-        return np.asarray(dfts)
+        return to_complex(dfts)
 
     def isdft(self, dfts) -> np.ndarray:
         """Synthesize the sample array from a DFT matrix."""
         dfts = np.atleast_2d(np.asarray(dfts))
         if dfts.ndim != 2:
             raise ValueError(f"Expected 2D array (samples,frequencies), got {dfts.shape}!")
-        return np.asarray(_isdft(self.plan, dfts))
+        packed = from_complex(dfts, dtype=np.dtype(self.plan.precision.fd_dtype))
+        return np.asarray(_isdft(self.plan, packed))

@@ -58,11 +58,14 @@ def _frame_fft(samples, framesize, hopsize, shift, window):
     frames = samples[idx] * window[None, :]
     if shift:
         frames = jnp.fft.fftshift(frames, axes=-1)
-    return jnp.fft.rfft(frames, axis=-1, norm="forward")
+    dfts = jnp.fft.rfft(frames, axis=-1, norm="forward")
+    # packed at the jit boundary (no complex buffers on this TPU runtime)
+    return jnp.stack([jnp.real(dfts), jnp.imag(dfts)], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _ifft_overlap_add(dfts, framesize, hopsize, shift, total, window):
+def _ifft_overlap_add(dfts_packed, framesize, hopsize, shift, total, window):
+    dfts = jax.lax.complex(dfts_packed[..., 0], dfts_packed[..., 1])
     frames = jnp.fft.irfft(dfts, axis=-1, norm="forward")
     if shift:
         frames = jnp.fft.ifftshift(frames, axes=-1)
@@ -116,18 +119,20 @@ class STFT:
         if samples.ndim != 1:
             raise ValueError(f"Expected 1D array (samples,), got {samples.shape}!")
         w = jnp.asarray(self._analysis_window(), samples.dtype)
-        return np.asarray(_frame_fft(samples, self.analysis_window_size,
-                                     self.hopsize, self.shift, w))
+        packed = np.asarray(_frame_fft(samples, self.analysis_window_size,
+                                       self.hopsize, self.shift, w))
+        return packed[..., 0] + 1j * packed[..., 1]
 
     def istft(self, dfts) -> np.ndarray:
         """WOLA synthesis from a DFT matrix (python/src/sdft/stft.py:83-123)."""
-        dfts = jnp.atleast_2d(jnp.asarray(dfts))
+        dfts = np.atleast_2d(np.asarray(dfts))
         if dfts.ndim != 2:
             raise ValueError(f"Expected 2D array (frames,frequencies), got {dfts.shape}!")
         A = self._analysis_window()
         S = self._synthesis_window()
         W = S * self.hopsize / np.sum(A * S)
         total = dfts.shape[0] * self.hopsize + self.analysis_window_size
-        return np.asarray(_ifft_overlap_add(dfts, self.analysis_window_size,
+        packed = jnp.asarray(np.stack([np.real(dfts), np.imag(dfts)], axis=-1))
+        return np.asarray(_ifft_overlap_add(packed, self.analysis_window_size,
                                             self.hopsize, self.shift, total,
                                             jnp.asarray(W)))

@@ -27,10 +27,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..cplx import pack, unpack
 from ..plan import Plan
 from ..state import State
 from .convolve import window_convolve
-from .twiddle import fiddle_rows
+from .twiddle import fiddle_block
 
 
 def sdft_block(plan: Plan, state: State, samples: jnp.ndarray):
@@ -38,12 +39,14 @@ def sdft_block(plan: Plan, state: State, samples: jnp.ndarray):
 
     Args:
       plan: static SDFT plan.
-      state: carry state (unbatched: offset (), delayline (2m,), acc (m,)).
+      state: carry state (unbatched: offset (), delayline (2m,), packed
+        accumulator (m, 2)).
       samples: (M,) real time-domain samples.
 
     Returns:
-      (new_state, dfts) with dfts of shape (M, m) complex — one spectrum per
-      input sample, matching sdft_sdft_n (c/src/sdft/sdft.h:607-613).
+      (new_state, dfts) with dfts of shape (M, m, 2) packed complex — one
+      spectrum per input sample, matching sdft_sdft_n
+      (c/src/sdft/sdft.h:607-613).  Packed layout per sdft_tpu.cplx.
     """
     m = plan.dftsize
     n2 = 2 * m
@@ -59,16 +62,16 @@ def sdft_block(plan: Plan, state: State, samples: jnp.ndarray):
     delta = (samples - line[:M]).astype(fd)
     new_delayline = line[M:]
 
-    k = jnp.arange(M, dtype=jnp.int32)
-    e = state.offset.astype(jnp.int32) + k  # reduced mod 2m inside fiddle_rows
+    fid, conj_base = fiddle_block(plan, state.offset.astype(jnp.int32), M)
 
-    rot = delta[:, None].astype(plan.precision.fdx_dtype) * fiddle_rows(plan, e)
-    rot = rot.at[0, :].add(state.accumulator)
+    rot = delta[:, None].astype(plan.precision.fdx_dtype) * fid
+    rot = rot.at[0, :].add(unpack(state.accumulator))
     acc = jnp.cumsum(rot, axis=0)
-    new_accumulator = acc[-1, :]
+    new_accumulator = pack(acc[-1, :])
 
-    aux = acc * fiddle_rows(plan, e + 1, conj=True)
-    dfts = window_convolve(plan, aux)
+    # demod exponent is offset+k+1: conj(fid) * conj(T_i)
+    aux = acc * (jnp.conj(fid) * conj_base[None, :])
+    dfts = pack(window_convolve(plan, aux))
 
     new_state = State(
         offset=jnp.mod(state.offset + M, n2).astype(state.offset.dtype),

@@ -25,7 +25,7 @@ def isdft_block(plan: Plan, dfts: jnp.ndarray) -> jnp.ndarray:
 
     Args:
       plan: static SDFT plan.
-      dfts: (..., M, m) complex DFT matrix.
+      dfts: (..., M, m, 2) packed-complex DFT matrix (sdft_tpu.cplx layout).
 
     Returns:
       (..., M) real samples in TD precision (cast at the end like
@@ -33,13 +33,13 @@ def isdft_block(plan: Plan, dfts: jnp.ndarray) -> jnp.ndarray:
     """
     fd = plan.precision.fd_dtype
     tw = synthesis_twiddles(plan)  # (m,) complex, constant-folded by XLA
-    re = jnp.real(dfts).astype(fd)
+    re = dfts[..., 0].astype(fd)
     if plan.latency == 1.0:
         # Purely real alternating-sign reduction (c/src/sdft/sdft.h:639-645).
         y = jnp.einsum("...sm,m->...s", re, jnp.real(tw),
                        preferred_element_type=fd)
     else:
-        im = jnp.imag(dfts).astype(fd)
+        im = dfts[..., 1].astype(fd)
         y = jnp.einsum("...sm,m->...s", re, jnp.real(tw),
                        preferred_element_type=fd)
         y = y - jnp.einsum("...sm,m->...s", im, jnp.imag(tw),

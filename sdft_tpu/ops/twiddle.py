@@ -46,6 +46,43 @@ def fiddle_rows(plan: Plan, exponents: jnp.ndarray, conj: bool = False,
     return jnp.cos(angle) + 1j * jnp.sin(angle)
 
 
+def fiddle_block(plan: Plan, offset: jnp.ndarray, M: int,
+                 bins: jnp.ndarray | None = None, split: int = 128):
+    """Phasor matrix P[k, i] = T_i ** (offset + k) for k in [0, M) — the
+    per-block rotation table — plus the constant demodulation row conj(T_i).
+
+    Equivalent to ``fiddle_rows(plan, offset + arange(M))`` but with ~M/split
+    times fewer transcendentals: writing k = a*split + b,
+
+        T_i^(offset+k) = T_i^offset * T_i^(a*split) * T_i^b
+
+    so only three small tables (1, M/split and split rows) are evaluated with
+    cos/sin — each exact via integer exponents mod 2m — and the full matrix
+    is assembled with two complex multiplies per element (unit-modulus
+    products: ~1 ulp each).  On TPU this moves the hot loop off the VPU
+    transcendental unit.
+
+    Returns:
+      (P, conj_base) where P is (M, B) complex and conj_base is (B,) complex
+      with conj_base[i] = conj(T_i); the demodulator for row k is
+      conj(P[k]) * conj_base (since demod exponent is offset+k+1).
+    """
+    m = plan.dftsize
+    if bins is None:
+        bins = jnp.arange(m, dtype=jnp.int32)
+    K = min(split, M)
+    A = -(-M // K)  # ceil
+    # Exact small tables (integer exponents mod 2m, then cos/sin).
+    row0 = fiddle_rows(plan, offset[None], bins=bins)         # (1, B) traced offset
+    coarse = fiddle_rows(plan, jnp.arange(A, dtype=jnp.int32) * K, bins=bins)  # (A, B)
+    fine = fiddle_rows(plan, jnp.arange(K, dtype=jnp.int32), bins=bins)        # (K, B)
+    P = (row0[None, :, :] * coarse[:, None, :]) * fine[None, :, :]
+    P = P.reshape(A * K, -1)[:M]
+    conj_base = fiddle_rows(plan, jnp.ones((1,), jnp.int32), conj=True,
+                            bins=bins)[0]
+    return P, conj_base
+
+
 def synthesis_twiddles(plan: Plan) -> jnp.ndarray:
     """Per-bin inverse-synthesis phasors including amplitude demodulation.
 

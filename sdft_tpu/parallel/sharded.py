@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .. import cplx
 from ..plan import Plan
 from ..state import State
 from ..windows import WINDOW_HALO, Window
@@ -38,14 +39,15 @@ from ..ops.convolve import window_convolve
 from ..ops.twiddle import fiddle_rows, synthesis_twiddles
 
 # Sharding specs for the batched State pytree: accumulator shards over bins,
-# offset/delayline replicate over time and bins.
+# offset/delayline replicate over time and bins.  Spectral arrays are packed
+# (trailing re/im axis of 2, replicated) — see sdft_tpu.cplx.
 STATE_SPECS = State(
     offset=P("channel"),
     delayline=P("channel", None),
-    accumulator=P("channel", "bins"),
+    accumulator=P("channel", "bins", None),
 )
 SAMPLE_SPEC = P("channel", "time")
-DFT_SPEC = P("channel", "time", "bins")
+DFT_SPEC = P("channel", "time", "bins", None)
 
 
 def state_sharding(mesh: Mesh) -> State:
@@ -93,14 +95,15 @@ def _bin_halo_exchange(aux, halo: int, axis: str):
 
 def _forward_local(plan: Plan, state: State, samples, *, m_total: int):
     """Per-device forward body.  samples (C, L) local block; state batched
-    with accumulator already bin-sharded to (C, mb)."""
+    with packed accumulator already bin-sharded to (C, mb, 2)."""
     m = plan.dftsize
     n2 = 2 * m
     td = plan.precision.td_dtype
     fd = plan.precision.fd_dtype
     cd = plan.precision.fdx_dtype
     C, L = samples.shape
-    mb = state.accumulator.shape[-1]
+    mb = state.accumulator.shape[-2]
+    acc_in = cplx.unpack(state.accumulator)  # (C, mb) complex
 
     d = lax.axis_index("time")
     ndev = lax.axis_size("time")
@@ -126,7 +129,7 @@ def _forward_local(plan: Plan, state: State, samples, *, m_total: int):
     rot = delta[..., None].astype(cd) * fid
 
     # Seed the scan with the carried accumulator on the first time shard.
-    acc_seed = jnp.where(d == 0, state.accumulator, jnp.zeros_like(state.accumulator))
+    acc_seed = jnp.where(d == 0, acc_in, jnp.zeros_like(acc_in))
     rot = rot.at[:, 0, :].add(acc_seed)
 
     # --- local scan + inter-block carry combine ---------------------------
@@ -140,7 +143,7 @@ def _forward_local(plan: Plan, state: State, samples, *, m_total: int):
     aux = cum * demod
     halo = WINDOW_HALO[plan.window]
     padded = _bin_halo_exchange(aux, halo, "bins")
-    dfts = window_convolve(plan, padded, edges=False)
+    dfts = cplx.pack(window_convolve(plan, padded, edges=False))
 
     # --- next state -------------------------------------------------------
     tails = lax.all_gather(tail, "time")             # (D, C, 2m)
@@ -148,22 +151,23 @@ def _forward_local(plan: Plan, state: State, samples, *, m_total: int):
     new_state = State(
         offset=jnp.mod(state.offset + m_total, n2).astype(state.offset.dtype),
         delayline=new_delayline,
-        accumulator=grand_total,
+        accumulator=cplx.pack(grand_total),
     )
     return new_state, dfts
 
 
 def _inverse_local(plan: Plan, dfts, *, bins_sharded: bool):
-    """Per-device synthesis: local bin partial + psum over 'bins'."""
+    """Per-device synthesis: local bin partial + psum over 'bins'.
+    dfts: (C, L, mb, 2) packed."""
     fd = plan.precision.fd_dtype
-    mb = dfts.shape[-1]
+    mb = dfts.shape[-2]
     b0 = lax.axis_index("bins") * mb
     tw = synthesis_twiddles(plan)
     tw = lax.dynamic_slice_in_dim(tw, b0, mb) if bins_sharded else tw
-    re = jnp.real(dfts).astype(fd)
+    re = dfts[..., 0].astype(fd)
     y = jnp.einsum("csm,m->cs", re, jnp.real(tw), preferred_element_type=fd)
     if plan.latency != 1.0:
-        im = jnp.imag(dfts).astype(fd)
+        im = dfts[..., 1].astype(fd)
         y = y - jnp.einsum("csm,m->cs", im, jnp.imag(tw), preferred_element_type=fd)
     y = lax.psum(y, "bins")
     y = y * jnp.asarray(plan.synthesis_weight, fd)
@@ -241,7 +245,8 @@ def sharded_sdft(plan: Plan, mesh: Mesh, state: State, samples):
       samples: (C, M) samples.
 
     Returns:
-      (new_state, dfts) with dfts (C, M, m) sharded (channel, time, bins).
+      (new_state, dfts) with dfts packed (C, M, m, 2), sharded
+      (channel, time, bins, -).
     """
     samples = jnp.asarray(samples)
     C, M = samples.shape
@@ -250,9 +255,9 @@ def sharded_sdft(plan: Plan, mesh: Mesh, state: State, samples):
 
 
 def sharded_isdft(plan: Plan, mesh: Mesh, dfts):
-    """Inverse synthesis over the mesh; dfts (C, M, m) -> samples (C, M)."""
+    """Inverse synthesis over the mesh; packed dfts (C, M, m, 2) -> (C, M)."""
     dfts = jnp.asarray(dfts)
-    C, M, _ = dfts.shape
+    C, M, _, _ = dfts.shape
     _check_layout(plan, mesh, C, M)
     return _sharded_isdft_jit(plan, mesh, dfts)
 

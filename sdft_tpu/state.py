@@ -8,7 +8,9 @@ the fiddle phasors need not be materialized: our carry is
 
   * ``offset``      — samples processed so far, reduced mod 2m, int32 scalar
   * ``delayline``   — last 2m input samples, TD dtype
-  * ``accumulator`` — per-bin running sum of rotated deltas, FD complex
+  * ``accumulator`` — per-bin running sum of rotated deltas, packed complex
+    (..., m, 2) in FD real dtype (see sdft_tpu.cplx for why boundaries are
+    packed, not complex)
 
 ``State`` is a NamedTuple, hence automatically a JAX pytree: it jit-traces,
 vmaps over channels, shards over meshes, and serializes for checkpoint/resume
@@ -31,7 +33,7 @@ class State(NamedTuple):
 
     offset: jax.Array       # () int32, in [0, 2m)
     delayline: jax.Array    # (2m,) td dtype — last 2m samples, oldest first
-    accumulator: jax.Array  # (m,) fd complex — sum of rotated deltas
+    accumulator: jax.Array  # (m, 2) fd real — packed sum of rotated deltas
 
 
 def init_state(plan: Plan, channels: int | None = None) -> State:
@@ -45,7 +47,7 @@ def init_state(plan: Plan, channels: int | None = None) -> State:
     return State(
         offset=jnp.zeros(shape, jnp.int32),
         delayline=jnp.zeros(shape + (2 * m,), plan.precision.td_dtype),
-        accumulator=jnp.zeros(shape + (m,), plan.precision.fdx_dtype),
+        accumulator=jnp.zeros(shape + (m, 2), plan.precision.fd_dtype),
     )
 
 

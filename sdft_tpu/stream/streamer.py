@@ -1,0 +1,115 @@
+"""Endless bounded-memory streaming driver.
+
+Generalizes the reference's hop-chunked streaming protocol (test/test.c:69-83:
+process hopsize samples per call, state persists in the plan) into a
+double-buffered block pipeline: while the device processes block k, the host
+stages block k+1 (jax dispatch is async, so ``device_put`` of the next block
+overlaps with compute).  Memory is O(block), independent of stream length.
+
+Checkpoint/resume: the complete resumable state is (offset, delayline,
+accumulator) (SURVEY.md §5); ``Streamer.checkpoint``/``restore`` snapshot it
+so a stream can resume at any block boundary after failure.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Callable, Iterable, Iterator
+
+import jax
+import numpy as np
+
+from ..api import isdft as _isdft
+from ..api import sdft as _sdft
+from ..plan import Plan
+from ..state import State, init_state, state_from_arrays, state_to_arrays
+
+
+class Streamer:
+    """Stateful block-stream processor for one or many channels."""
+
+    def __init__(self, plan: Plan, channels: int | None = None,
+                 forward: Callable | None = None,
+                 inverse: Callable | None = None):
+        """Args:
+          plan: static SDFT plan.
+          channels: None for a mono (M,) stream, else channel count C.
+          forward/inverse: optional overrides for the block ops (e.g. the
+            sharded or Pallas variants with plan/mesh already bound);
+            default to the single-device jitted ops.
+        """
+        self.plan = plan
+        self.channels = channels
+        self._forward = forward or (lambda st, x: _sdft(plan, st, x))
+        self._inverse = inverse or (lambda d: _isdft(plan, d))
+        self.state: State = init_state(plan, channels)
+        self.samples_processed = 0
+
+    def process(self, block) -> jax.Array:
+        """Analyze one block; returns its DFT matrix (device array)."""
+        self.state, dfts = self._forward(self.state, block)
+        self.samples_processed += np.shape(block)[-1]
+        return dfts
+
+    def synthesize(self, dfts) -> jax.Array:
+        """Inverse-transform one block of spectra."""
+        return self._inverse(dfts)
+
+    def run(self, blocks: Iterable, transform: Callable | None = None,
+            ) -> Iterator[np.ndarray]:
+        """Round-trip a stream of blocks with double buffering.
+
+        Args:
+          blocks: iterable of (M,) / (C, M) sample blocks.
+          transform: optional spectral-domain callback dfts -> dfts (e.g.
+            filtering, pitch shifting) applied between analysis and synthesis.
+
+        Yields:
+          synthesized sample blocks as numpy arrays, one per input block.
+        """
+        pending = None  # device array not yet synced to host
+        for block in blocks:
+            # Stage the next block onto the device; dispatch is async so this
+            # overlaps with any in-flight compute.
+            staged = jax.device_put(np.asarray(block))
+            dfts = self.process(staged)
+            if transform is not None:
+                dfts = transform(dfts)
+            y = self.synthesize(dfts)
+            if pending is not None:
+                yield np.asarray(pending)  # sync the *previous* block only
+            pending = y
+        if pending is not None:
+            yield np.asarray(pending)
+
+    # -- checkpoint / resume --------------------------------------------------
+
+    def checkpoint(self, path: str | pathlib.Path) -> None:
+        """Snapshot carry state + stream position to an .npz file."""
+        arrays = state_to_arrays(self.state)
+        np.savez(path, samples_processed=self.samples_processed, **arrays)
+
+    def restore(self, path: str | pathlib.Path) -> None:
+        with np.load(path) as data:
+            self.samples_processed = int(data["samples_processed"])
+            self.state = state_from_arrays({k: data[k] for k in
+                                            ("offset", "delayline", "accumulator")})
+
+    def reset(self) -> None:
+        self.state = init_state(self.plan, self.channels)
+        self.samples_processed = 0
+
+
+def iter_blocks(samples: np.ndarray, block: int, pad: bool = False
+                ) -> Iterator[np.ndarray]:
+    """Split (..., n) samples into (..., block) chunks (last one padded with
+    zeros when ``pad`` else truncated, like the drivers' whole-hop truncation,
+    test/test.c:61)."""
+    n = samples.shape[-1]
+    stop = n if pad else (n // block) * block
+    for i in range(0, stop, block):
+        chunk = samples[..., i:i + block]
+        if chunk.shape[-1] < block:
+            width = [(0, 0)] * (chunk.ndim - 1) + [(0, block - chunk.shape[-1])]
+            chunk = np.pad(chunk, width)
+        yield chunk

@@ -1,0 +1,77 @@
+"""CLI driver protocol test: same outputs as the reference driver protocol."""
+
+import sys
+
+import numpy as np
+import pytest
+
+from sdft_tpu.cli import main as cli_main
+from sdft_tpu.io.dump import load_complex
+from sdft_tpu.io.wav import read_wav, write_wav
+
+REF_SRC = "/root/reference/python/src"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    sys.path.insert(0, REF_SRC)
+    try:
+        import sdft as ref_mod
+    except ImportError:
+        pytest.skip("reference python package not importable")
+    finally:
+        sys.path.remove(REF_SRC)
+    return ref_mod
+
+
+def test_cli_driver_matches_reference_protocol(ref, test_wav, tmp_path, capsys):
+    x, sr = test_wav
+    n = 4000
+    src = tmp_path / "src.wav"
+    write_wav(str(src), x[:n], sr, bits=24)
+
+    m, hop = 200, 100
+    out_wav = tmp_path / "out.wav"
+    out_dft = tmp_path / "out.dft"
+    rc = cli_main([str(m), str(hop), "hann", "1", str(src), str(out_wav), str(out_dft)])
+    assert rc == 0
+
+    # reference protocol on the same (requantized) source
+    xq, _ = read_wav(str(src))
+    size = (xq.size // hop) * hop
+    theirs = ref.SDFT(m, "hann", 1)
+    y_ref, dfts_ref = [], []
+    for i in range(0, size, hop):
+        d = theirs.sdft(xq[i:i + hop])
+        dfts_ref.append(d[0])
+        y_ref.append(theirs.isdft(d))
+    y_ref = np.concatenate(y_ref)
+    dfts_ref = np.stack(dfts_ref)
+
+    got_dfts = load_complex(str(out_dft), m)
+    np.testing.assert_allclose(got_dfts, dfts_ref, atol=1e-7)
+
+    # compare synthesized signals through the same 32-bit wav quantization
+    got_y, _ = read_wav(str(out_wav))
+    ref_wav = tmp_path / "ref.wav"
+    write_wav(str(ref_wav), np.asarray(y_ref, dtype=np.float64), sr)
+    want_y, _ = read_wav(str(ref_wav))
+    np.testing.assert_allclose(got_y, want_y, atol=1e-6)
+
+
+def test_cli_block_mode_identical(ref, test_wav, tmp_path):
+    x, sr = test_wav
+    src = tmp_path / "src.wav"
+    write_wav(str(src), x[:3000], sr, bits=24)
+
+    outs = []
+    for extra in ([], ["--block", "500"]):
+        out_wav = tmp_path / f"out{len(extra)}.wav"
+        out_dft = tmp_path / f"out{len(extra)}.dft"
+        rc = cli_main(["100", "100", "hamming", "0.5", str(src),
+                       str(out_wav), str(out_dft)] + extra)
+        assert rc == 0
+        outs.append((read_wav(str(out_wav))[0], load_complex(str(out_dft), 100)))
+
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-12)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-12)

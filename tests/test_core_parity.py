@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 import sdft_tpu
-from sdft_tpu import Plan, Precision, init_state, isdft, sdft
+from sdft_tpu import Plan, Precision, init_state, isdft, sdft, to_complex
 
 from reference_impl import NaiveSDFT
 
@@ -33,7 +33,7 @@ def test_forward_matches_oracle(window):
     state = init_state(plan)
     state, got = sdft(plan, state, x)
 
-    np.testing.assert_allclose(np.asarray(got), want, atol=1e-12, rtol=1e-9)
+    np.testing.assert_allclose(to_complex(got), want, atol=1e-12, rtol=1e-9)
 
 
 @pytest.mark.parametrize("latency", [1.0, 0.5, 0.25])

@@ -9,7 +9,7 @@ import sys
 import numpy as np
 import pytest
 
-from sdft_tpu import Plan, Precision, init_state, isdft, sdft
+from sdft_tpu import Plan, Precision, init_state, isdft, sdft, to_complex
 from sdft_tpu.oracle import NativeSDFT
 
 REF_SRC = "/root/reference/python/src"
@@ -32,7 +32,7 @@ def test_oracle_matches_jax(window):
     plan = Plan(m, window=window, precision=F64)
     _, d_jax = sdft(plan, init_state(plan), x)
 
-    np.testing.assert_allclose(np.asarray(d_jax), d_native, atol=1e-12)
+    np.testing.assert_allclose(to_complex(d_jax), d_native, atol=1e-12)
 
 
 @pytest.mark.parametrize("latency", [1.0, 0.5])

@@ -11,7 +11,7 @@ import sys
 import numpy as np
 import pytest
 
-from sdft_tpu import Plan, Precision, init_state, isdft, sdft
+from sdft_tpu import Plan, Precision, init_state, isdft, sdft, to_complex
 
 F64 = Precision(td="float64", fd="float64")
 
@@ -47,7 +47,7 @@ def test_dft_matrix_parity_on_test_wav(ref_sdft_module, test_wav, window, m, lat
     state = init_state(plan)
     _, got = sdft(plan, state, x)
 
-    np.testing.assert_allclose(np.asarray(got), want, atol=1e-7)
+    np.testing.assert_allclose(to_complex(got), want, atol=1e-7)
 
 
 def test_roundtrip_parity_on_test_wav(ref_sdft_module, test_wav):

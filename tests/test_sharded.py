@@ -7,7 +7,7 @@ import pytest
 
 import jax
 
-from sdft_tpu import Plan, Precision, init_state, isdft, sdft
+from sdft_tpu import Plan, Precision, from_complex, init_state, isdft, sdft
 from sdft_tpu.parallel import make_mesh, sharded_isdft, sharded_roundtrip, sharded_sdft
 
 F64 = Precision(td="float64", fd="float64")
@@ -89,7 +89,7 @@ def test_sharded_isdft_matches_unsharded(latency):
     mesh = make_mesh(channel=2, time=2, bins=2)
 
     want = np.asarray(isdft(plan, dfts))
-    got = np.asarray(sharded_isdft(plan, mesh, dfts))
+    got = np.asarray(sharded_isdft(plan, mesh, from_complex(dfts)))
     np.testing.assert_allclose(got, want, atol=1e-12)
 
 

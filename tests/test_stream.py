@@ -1,0 +1,74 @@
+"""Streaming runtime: chunk invariance, checkpoint/resume, transform hook."""
+
+import numpy as np
+
+from sdft_tpu import Plan, Precision, init_state, isdft, sdft
+from sdft_tpu.stream import Streamer, iter_blocks
+
+F64 = Precision(td="float64", fd="float64")
+
+
+def _signal(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.clip(np.random.default_rng(seed).standard_normal(n), -1, 1)
+
+
+def test_streamer_roundtrip_matches_batch():
+    m = 32
+    n = 12 * m
+    x = _signal(n)
+    plan = Plan(m, precision=F64)
+
+    state = init_state(plan)
+    _, dfts = sdft(plan, state, x)
+    want = np.asarray(isdft(plan, dfts))
+
+    streamer = Streamer(plan)
+    got = np.concatenate(list(streamer.run(iter_blocks(x, 96))))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    assert streamer.samples_processed == n
+
+
+def test_streamer_checkpoint_resume(tmp_path):
+    m = 16
+    x = _signal(8 * m, seed=1)
+    plan = Plan(m, precision=F64)
+    half = x.size // 2
+
+    ref = Streamer(plan)
+    want = [np.asarray(ref.process(b)) for b in iter_blocks(x, 32)]
+
+    a = Streamer(plan)
+    got_first = [np.asarray(a.process(b)) for b in iter_blocks(x[:half], 32)]
+    ckpt = tmp_path / "state.npz"
+    a.checkpoint(ckpt)
+
+    b = Streamer(plan)
+    b.restore(ckpt)
+    assert b.samples_processed == half
+    got_second = [np.asarray(b.process(blk)) for blk in iter_blocks(x[half:], 32)]
+
+    np.testing.assert_allclose(np.concatenate(got_first + got_second),
+                               np.concatenate(want), atol=0)
+
+
+def test_streamer_multichannel_and_transform():
+    m = 16
+    C = 2
+    x = np.stack([_signal(6 * m, seed=2), _signal(6 * m, seed=3)])
+    plan = Plan(m, precision=F64)
+
+    streamer = Streamer(plan, channels=C)
+    # spectral transform: zero everything -> output must be zero
+    out = np.concatenate(
+        list(streamer.run(iter_blocks(x, 48), transform=lambda d: d * 0)), axis=-1)
+    assert out.shape == x.shape
+    np.testing.assert_array_equal(out, np.zeros_like(out))
+
+
+def test_iter_blocks_pad_and_truncate():
+    x = np.arange(10.0)
+    assert [b.shape[-1] for b in iter_blocks(x, 4)] == [4, 4]
+    padded = list(iter_blocks(x, 4, pad=True))
+    assert [b.shape[-1] for b in padded] == [4, 4, 4]
+    np.testing.assert_array_equal(padded[-1], [8, 9, 0, 0])
