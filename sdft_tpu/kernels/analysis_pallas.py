@@ -1,0 +1,347 @@
+"""Fused Pallas TPU kernels for SDFT analysis and round trip.
+
+One single-pass kernel replaces the XLA op chain (rotate -> cumsum -> demod
+-> window conv [-> synthesis]) that would otherwise materialize O(M*m)
+complex intermediates in HBM several times over.  Everything lives in VMEM
+tiles; the only HBM traffic is the inputs, the spectra (forward variant
+only) and the synthesized samples.
+
+Grid: one dimension over time tiles.  Each step processes TILE_K samples
+across all m bins (padded to lane alignment), carrying the per-bin
+accumulator in VMEM scratch — the in-kernel form of the blockwise
+associative scan (SURVEY.md §0.3).
+
+Phase tables use the exact integer-exponent construction (see
+sdft_tpu.ops.twiddle): within the kernel,
+
+    T_i^(offset + t*TILE_K + k) = row0_i * fine[k, i]
+
+where ``fine[k, i] = T_i^k`` is computed once at t == 0 into scratch (the
+only O(TILE_K * m) transcendentals) and ``row0_i = T_i^((offset + t*TILE_K)
+mod 2m)`` is one row of transcendentals per grid step.  All exponent
+arithmetic is mod 2m in int32, so phases never drift — the kernel equivalent
+of reference C's periodic phase reset (c/src/sdft/sdft.h:566-576).
+
+Layout: planar re/im throughout (Pallas has no complex dtype).  Bin axis is
+padded by PAD=64 columns on each side so W = m + 128 stays lane-aligned; the
+window convolution reads a 1-2 column halo and the Hermitian edge guards
+(c/src/sdft/sdft.h:589-595) are materialized by masked column writes.
+
+Constraints (wrapper falls back to the XLA path otherwise):
+  * float32 TD/FD precision (f64 parity mode stays on XLA/CPU),
+  * m % 128 == 0 and M % TILE_K == 0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..plan import Plan
+from ..state import State
+from ..windows import WINDOW_HALO, WINDOW_TAPS
+from ..ops.twiddle import synthesis_twiddles
+
+PAD = 64          # bin-axis padding each side (total W = m + 128, lane aligned)
+TILE_K = 128      # samples per grid step (lane-aligned slices)
+
+
+def pallas_supported() -> bool:
+    """Pallas fast path requires a TPU backend."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def plan_supported(plan: Plan, M: int) -> bool:
+    return (
+        plan.precision.resolve().td == "float32"
+        and plan.precision.resolve().fd == "float32"
+        and plan.dftsize % 128 == 0
+        and plan.dftsize >= 256
+        and M % TILE_K == 0
+    )
+
+
+def _cumsum_rows(v, K, mode="vpu"):
+    """Inclusive prefix sum along axis 0.
+
+    "vpu": log-step shifted adds.  "mxu_f32"/"mxu_3pass": multiply by a
+    lower-triangular ones matrix on the systolic array; the default bf16
+    matmul pass loses ~1e-2 accuracy so only the f32 (HIGHEST) and bf16x3
+    (HIGH) variants are offered.  Measured on v5e, "vpu" wins end-to-end
+    with the algebraically-reduced kernel.
+    """
+    if mode.startswith("mxu"):
+        r = lax.broadcasted_iota(jnp.int32, (K, K), 0)
+        c = lax.broadcasted_iota(jnp.int32, (K, K), 1)
+        L = (c <= r).astype(jnp.float32)
+        prec = (lax.Precision.HIGHEST if mode == "mxu_f32"
+                else lax.Precision.HIGH)
+        return jnp.dot(L, v, preferred_element_type=jnp.float32,
+                       precision=prec)
+    s = 1
+    while s < K:
+        v = v + jnp.pad(v, ((s, 0), (0, 0)))[:K]
+        s *= 2
+    return v
+
+
+def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
+            *refs, plan: Plan, emit_dfts: bool, emit_y: bool,
+            cumsum_mode: str = "vpu"):
+    """Fused per-tile body.
+
+    Algebraic form (see module docstring for the phase split): with
+    row0 = T^(e0*i), fine[k,i] = T_i^k, base = conj(T_i),
+
+        cumv     = cumsum_k(delta[k] * fine[k,i])
+        aux[k,i] = (acc*conj(row0) + cumv[k,i]) * (conj(fine)*base)[k,i]
+        acc'     = acc + row0 * cumv[K-1]
+
+    using |row0|^2 == 1 to cancel row0 out of the demodulation — the full
+    fid matrix is never materialized, and conj(fine)*base is a constant
+    hoisted into scratch at t == 0.
+    """
+    idx = 0
+    dft_re_ref = dft_im_ref = y_ref = None
+    if emit_dfts:
+        dft_re_ref, dft_im_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    if emit_y:
+        y_ref = refs[idx]
+        idx += 1
+    acc_out_ref = refs[idx]
+    fine_re, fine_im, dmf_re, dmf_im, acc = refs[idx + 1: idx + 6]
+
+    m = plan.dftsize
+    n2 = 2 * m
+    W = m + 2 * PAD
+    omega = np.float32(-np.pi / m)
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    # bin index per lane column (negative in left pad; mod handles signs)
+    ib = lax.broadcasted_iota(jnp.int32, (1, W), 1) - PAD
+
+    @pl.when(t == 0)
+    def _init():
+        kk = lax.broadcasted_iota(jnp.int32, (TILE_K, W), 0)
+        iw = lax.broadcasted_iota(jnp.int32, (TILE_K, W), 1) - PAD
+        r = jnp.mod(kk * iw, n2)
+        ang = omega * r.astype(jnp.float32)
+        fre = jnp.cos(ang)
+        fim = jnp.sin(ang)
+        fine_re[:] = fre
+        fine_im[:] = fim
+        # demod constant: conj(fine) * base, base = conj(T^i)
+        angb = (-omega) * jnp.mod(iw, n2).astype(jnp.float32)
+        bre = jnp.cos(angb)
+        bim = jnp.sin(angb)
+        dmf_re[:] = fre * bre + fim * bim
+        dmf_im[:] = fre * bim - fim * bre
+        acc[:] = acc_in_ref[:]
+
+    # row0 = T^(e0 * i), e0 = offset + t*TILE_K (mod 2m)
+    e0 = jnp.mod(off_ref[0, 0] + t * TILE_K, n2)
+    r0 = jnp.mod(e0 * ib, n2)
+    ang0 = omega * r0.astype(jnp.float32)
+    r0_re = jnp.cos(ang0)
+    r0_im = jnp.sin(ang0)
+
+    # v = delta * fine; prefix sum along time
+    d = delta_ref[0, pl.ds(pl.multiple_of(t * TILE_K, 128), TILE_K)].reshape(TILE_K, 1)
+    cv_re = _cumsum_rows(d * fine_re[:], TILE_K, cumsum_mode)
+    cv_im = _cumsum_rows(d * fine_im[:], TILE_K, cumsum_mode)
+
+    # carry in the demodulated frame: acc * conj(row0) (rows, broadcast)
+    a_re = acc[0:1, :]
+    a_im = acc[1:2, :]
+    c0_re = a_re * r0_re + a_im * r0_im
+    c0_im = a_im * r0_re - a_re * r0_im
+    u_re = cv_re + c0_re
+    u_im = cv_im + c0_im
+
+    # acc' = acc + row0 * cumv[last]  (exact global frame, no approximation)
+    l_re = cv_re[TILE_K - 1:TILE_K, :]
+    l_im = cv_im[TILE_K - 1:TILE_K, :]
+    acc[0:1, :] = a_re + r0_re * l_re - r0_im * l_im
+    acc[1:2, :] = a_im + r0_re * l_im + r0_im * l_re
+
+    @pl.when(t == nt - 1)
+    def _emit_acc():
+        acc_out_ref[:] = acc[:]
+
+    # aux = u * demod_fine
+    aux_re = u_re * dmf_re[:] - u_im * dmf_im[:]
+    aux_im = u_re * dmf_im[:] + u_im * dmf_re[:]
+
+    halo = WINDOW_HALO[plan.window]
+    if halo > 0:
+        # Hermitian edge guards: bins -k <- conj(bin k); bins (m-1)+k <-
+        # conj(bin (m-1)-k)  (c/src/sdft/sdft.h:589-595).
+        cols = lax.broadcasted_iota(jnp.int32, (TILE_K, W), 1)
+
+        def put_guard(a_re, a_im, dst, src):
+            msk = cols == dst
+            src_re = a_re[:, src:src + 1]
+            src_im = a_im[:, src:src + 1]
+            return (jnp.where(msk, src_re, a_re),
+                    jnp.where(msk, -src_im, a_im))
+
+        for g in range(1, halo + 1):
+            aux_re, aux_im = put_guard(aux_re, aux_im, PAD - g, PAD + g)
+            aux_re, aux_im = put_guard(aux_re, aux_im, PAD + m - 1 + g,
+                                       PAD + m - 1 - g)
+
+    # frequency-domain window convolution, weight folded into taps
+    c0, c1, c2 = WINDOW_TAPS[plan.window]
+    wgt = np.float32(plan.analysis_weight)
+
+    def conv(a):
+        out = np.float32(c0) * a[:, PAD:PAD + m]
+        if halo >= 1:
+            out = out + np.float32(c1) * (a[:, PAD - 1:PAD + m - 1]
+                                          + a[:, PAD + 1:PAD + m + 1])
+        if halo >= 2:
+            out = out + np.float32(c2) * (a[:, PAD - 2:PAD + m - 2]
+                                          + a[:, PAD + 2:PAD + m + 2])
+        return out * wgt
+
+    out_re = conv(aux_re)
+    out_im = conv(aux_im)
+
+    if emit_dfts:
+        dft_re_ref[:] = out_re
+        dft_im_ref[:] = out_im
+    if emit_y:
+        # synthesis matvec on the MXU: y = 2 * (Re(dft).Re(s) - Im(dft).Im(s))
+        s_re = synth_ref[0:1, PAD:PAD + m]
+        s_im = synth_ref[1:2, PAD:PAD + m]
+        y = jnp.dot(out_re, s_re.reshape(m, 1)[:, 0],
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
+        if plan.latency != 1.0:
+            y = y - jnp.dot(out_im, s_im.reshape(m, 1)[:, 0],
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
+        y_ref[0, pl.ds(pl.multiple_of(t * TILE_K, 128), TILE_K)] = (
+            np.float32(plan.synthesis_weight) * y)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
+            interpret: bool = False, cumsum_mode: str = "vpu"):
+    m = plan.dftsize
+    n2 = 2 * m
+    W = m + 2 * PAD
+    (M,) = samples.shape
+    nt = M // TILE_K
+
+    samples = samples.astype(jnp.float32)
+    line = jnp.concatenate([state.delayline.astype(jnp.float32), samples])
+    delta = (samples - line[:M]).reshape(1, M)
+    new_delayline = line[M:].astype(plan.precision.td_dtype)
+
+    # acc planar (2, W) with zero pads; state.accumulator packed (m, 2)
+    acc_in = jnp.zeros((2, W), jnp.float32)
+    acc_in = acc_in.at[:, PAD:PAD + m].set(state.accumulator.T.astype(jnp.float32))
+
+    # synthesis row (2, W), zero pads
+    tw = synthesis_twiddles(plan)
+    synth = jnp.zeros((2, W), jnp.float32)
+    synth = synth.at[0, PAD:PAD + m].set(jnp.real(tw).astype(jnp.float32))
+    synth = synth.at[1, PAD:PAD + m].set(jnp.imag(tw).astype(jnp.float32))
+
+    offset = jnp.mod(state.offset.astype(jnp.int32), n2).reshape(1, 1)
+
+    out_shapes = []
+    out_specs = []
+    if emit_dfts:
+        out_shapes += [jax.ShapeDtypeStruct((M, m), jnp.float32)] * 2
+        out_specs += [pl.BlockSpec((TILE_K, m), lambda t: (t, 0),
+                                   memory_space=pltpu.VMEM)] * 2
+    if emit_y:
+        out_shapes += [jax.ShapeDtypeStruct((1, M), jnp.float32)]
+        out_specs += [pl.BlockSpec((1, M), lambda t: (0, 0),
+                                   memory_space=pltpu.VMEM)]
+    # acc_out revisited every step, written at the last one
+    out_shapes += [jax.ShapeDtypeStruct((2, W), jnp.float32)]
+    out_specs += [pl.BlockSpec((2, W), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM)]
+
+    kernel = functools.partial(_kernel, plan=plan, emit_dfts=emit_dfts,
+                               emit_y=emit_y, cumsum_mode=cumsum_mode)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # offset (1,1)
+            pl.BlockSpec((1, M), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),            # delta (full)
+            pl.BlockSpec((2, W), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),            # acc_in
+            pl.BlockSpec((2, W), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),            # synth row
+        ],
+        out_shape=tuple(out_shapes),
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_K, W), jnp.float32),  # fine_re
+            pltpu.VMEM((TILE_K, W), jnp.float32),  # fine_im
+            pltpu.VMEM((TILE_K, W), jnp.float32),  # demod_fine re
+            pltpu.VMEM((TILE_K, W), jnp.float32),  # demod_fine im
+            pltpu.VMEM((2, W), jnp.float32),       # acc carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(offset, delta, acc_in, synth)
+
+    outs = list(outs)
+    dfts = y = None
+    if emit_dfts:
+        dft_re, dft_im = outs[0], outs[1]
+        dfts = jnp.stack([dft_re, dft_im], axis=-1)
+        outs = outs[2:]
+    if emit_y:
+        y = outs[0].reshape(M).astype(plan.precision.td_dtype)
+        outs = outs[1:]
+    acc_out = outs[0]
+
+    new_state = State(
+        offset=jnp.mod(state.offset + M, n2).astype(state.offset.dtype),
+        delayline=new_delayline,
+        accumulator=acc_out[:, PAD:PAD + m].T,
+    )
+    return new_state, dfts, y
+
+
+def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
+                         cumsum_mode="vpu"):
+    """Fused forward analysis; returns (state, dfts packed (M, m, 2))."""
+    new_state, dfts, _ = _launch(plan, state, samples, True, False, interpret,
+                                 cumsum_mode)
+    return new_state, dfts
+
+
+def roundtrip_block_fused(plan: Plan, state: State, samples, interpret=False,
+                          cumsum_mode="vpu"):
+    """Fused analysis + synthesis; spectra never touch HBM.
+    Returns (state, samples_out (M,))."""
+    new_state, _, y = _launch(plan, state, samples, False, True, interpret,
+                              cumsum_mode)
+    return new_state, y
+
+
+def forward_and_y_pallas(plan: Plan, state: State, samples, interpret=False,
+                        cumsum_mode="vpu"):
+    """Fused analysis emitting both spectra and synthesized samples."""
+    return _launch(plan, state, samples, True, True, interpret, cumsum_mode)

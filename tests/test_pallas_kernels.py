@@ -1,0 +1,85 @@
+"""Pallas kernels (interpret mode on CPU) vs the XLA reference path."""
+
+import numpy as np
+import pytest
+
+from sdft_tpu import Plan, Precision, init_state, isdft, sdft
+from sdft_tpu.kernels import (
+    forward_block_pallas,
+    plan_supported,
+    roundtrip_block_fused,
+)
+
+F32 = Precision(td="float32", fd="float32")
+
+
+def _signal(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(n).clip(-1, 1).astype(np.float32)
+
+
+@pytest.mark.parametrize("window", ["boxcar", "hann", "hamming", "blackman"])
+def test_forward_kernel_matches_xla(window):
+    m = 256
+    M = 3 * 128
+    x = _signal(M)
+    plan = Plan(m, window=window, precision=F32)
+    assert plan_supported(plan, M)
+
+    state = init_state(plan)
+    want_state, want = sdft(plan, state, x)
+
+    got_state, got = forward_block_pallas(plan, state, x, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_state.accumulator),
+                               np.asarray(want_state.accumulator),
+                               atol=2e-5, rtol=1e-4)
+    assert int(got_state.offset) == int(want_state.offset)
+    np.testing.assert_array_equal(np.asarray(got_state.delayline),
+                                  np.asarray(want_state.delayline))
+
+
+@pytest.mark.parametrize("latency", [1.0, 0.5])
+def test_roundtrip_kernel_matches_xla(latency):
+    m = 256
+    M = 4 * 128
+    x = _signal(M, seed=1)
+    plan = Plan(m, window="hann", latency=latency, precision=F32)
+
+    state = init_state(plan)
+    _, dfts = sdft(plan, state, x)
+    want = np.asarray(isdft(plan, dfts))
+
+    state = init_state(plan)
+    _, y = roundtrip_block_fused(plan, state, x, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(y), want, atol=5e-4, rtol=1e-3)
+
+
+def test_kernel_streaming_carry():
+    """Two kernel blocks chain identically to one (offset + acc carry),
+    including across the 2m phase boundary."""
+    m = 256
+    M = 4 * 128  # 512 = 2m: second block starts exactly at the phase reset
+    x = _signal(2 * M, seed=2)
+    plan = Plan(m, precision=F32)
+
+    state = init_state(plan)
+    _, want = sdft(plan, state, x)
+    want = np.asarray(want)
+
+    state = init_state(plan)
+    state, d1 = forward_block_pallas(plan, state, x[:M], interpret=True)
+    state, d2 = forward_block_pallas(plan, state, x[M:], interpret=True)
+    got = np.concatenate([np.asarray(d1), np.asarray(d2)])
+
+    np.testing.assert_allclose(got, want, atol=5e-6, rtol=1e-4)
+
+
+def test_plan_supported_gates():
+    assert not plan_supported(Plan(100, precision=F32), 64)     # m % 128
+    assert not plan_supported(Plan(256), 64)                    # f64 fd
+    assert not plan_supported(Plan(256, precision=F32), 100)    # M % TILE_K
+    assert plan_supported(Plan(4096, precision=F32), 16384)
