@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .cplx import from_complex
+from .kernels import forward_block_pallas, pallas_supported, plan_supported
 from .ops.analysis import sdft_block
 from .ops.synthesis import isdft_block
 from .plan import Plan
@@ -39,6 +40,15 @@ def _sdft_1d(plan: Plan, state: State, samples: jax.Array):
 @functools.partial(jax.jit, static_argnums=0)
 def _sdft_2d(plan: Plan, state: State, samples: jax.Array):
     return jax.vmap(lambda st, x: sdft_block(plan, st, x))(state, samples)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _sdft_2d_pallas(plan: Plan, state: State, samples: jax.Array):
+    return jax.vmap(lambda st, x: forward_block_pallas(plan, st, x))(state, samples)
+
+
+def _use_pallas(plan: Plan, M: int) -> bool:
+    return pallas_supported() and plan_supported(plan, M)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -59,8 +69,12 @@ def sdft(plan: Plan, state: State, samples) -> tuple[State, jax.Array]:
     """
     samples = jnp.asarray(samples)
     if samples.ndim == 1:
+        if _use_pallas(plan, samples.shape[-1]):
+            return forward_block_pallas(plan, state, samples)
         return _sdft_1d(plan, state, samples)
     if samples.ndim == 2:
+        if _use_pallas(plan, samples.shape[-1]):
+            return _sdft_2d_pallas(plan, state, samples)
         return _sdft_2d(plan, state, samples)
     raise ValueError(f"samples must be (M,) or (C, M), got {samples.shape}")
 
