@@ -1,0 +1,40 @@
+"""Latency vs SNR trade-off example (reference: python/examples/latency.py).
+
+Round trips truncated-normal noise through sdft/isdft at several synthesis
+latency factors and reports the SNR in dB after removing the (m-1)*latency
+sample algorithmic delay — demonstrating that lower latency costs SNR
+(c/src/sdft/sdft.h:408-410).
+"""
+
+import numpy as np
+
+from sdft_tpu import Plan, init_state, isdft, sdft
+
+
+def snr_db(x, y, delay):
+    """10*log10(mean(x^2)/mean((y-x)^2)) after delay removal
+    (python/examples/latency.py:50-57)."""
+    xa, ya = x[: x.size - delay], y[delay:]
+    return 10 * np.log10(np.mean(xa**2) / np.mean((ya - xa) ** 2))
+
+
+def main():
+    sr = 44100
+    n = sr
+    m = 1000
+
+    rng = np.random.default_rng(0)
+    x = np.clip(rng.standard_normal(n), -2, 2) / 2
+
+    for latency in (1.0, 0.75, 0.5, 0.25):
+        plan = Plan(m, window="hann", latency=latency)
+        state = init_state(plan)
+        _, dfts = sdft(plan, state, x)
+        y = np.asarray(isdft(plan, dfts), dtype=np.float64)
+        delay = plan.synthesis_delay
+        print(f"latency {latency:4.2f}: delay {delay:5d} samples, "
+              f"SNR {snr_db(x, y, delay):6.2f} dB")
+
+
+if __name__ == "__main__":
+    main()

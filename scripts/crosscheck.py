@@ -1,0 +1,102 @@
+"""Cross-implementation verification harness.
+
+The TPU-native analogue of the reference's test/main.sh + test/main.py
+pipeline: run the same 7-arg driver protocol through (a) the JAX/Pallas
+framework and (b) the native C++ oracle engine on test.wav, assert the DFT
+matrices and round-trip WAVs agree within the reference tolerances
+(test/main.py:70-79), compute the FFT-based STFT comparison, and optionally
+render side-by-side spectrograms.
+
+Usage:
+    python scripts/crosscheck.py [dftsize] [hopsize] [window] [latency] [wav]
+Defaults mirror test/main.sh: 1000 100 hann 1 /root/reference/test/test.wav
+"""
+
+import pathlib
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from sdft_tpu.cli import main as cli_main           # noqa: E402
+from sdft_tpu.compat import STFT                    # noqa: E402
+from sdft_tpu.io.dump import load_complex           # noqa: E402
+from sdft_tpu.io.wav import read_wav, write_wav     # noqa: E402
+from sdft_tpu.oracle import NativeSDFT              # noqa: E402
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    dftsize = int(argv[0]) if len(argv) > 0 else 1000
+    hopsize = int(argv[1]) if len(argv) > 1 else 100
+    window = argv[2] if len(argv) > 2 else "hann"
+    latency = float(argv[3]) if len(argv) > 3 else 1.0
+    src = argv[4] if len(argv) > 4 else "/root/reference/test/test.wav"
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tmp = pathlib.Path(tmp)
+        out_wav = tmp / "tpu.wav"
+        out_dft = tmp / "tpu.dft"
+        rc = cli_main([str(dftsize), str(hopsize), window, str(latency),
+                       src, str(out_wav), str(out_dft)])
+        assert rc == 0
+
+        x, sr = read_wav(src)
+        size = (x.size // hopsize) * hopsize
+        x = x[:size]
+
+        print("native oracle pass...")
+        eng = NativeSDFT(dftsize, window, latency, td_bits=64)
+        hops = size // hopsize
+        dfts_ref = np.empty((hops, dftsize), np.complex128)
+        y_ref = np.empty(size)
+        for h in range(hops):
+            d = eng.sdft(x[h * hopsize:(h + 1) * hopsize])
+            dfts_ref[h] = d[0]
+            y_ref[h * hopsize:(h + 1) * hopsize] = eng.isdft(d)
+
+        dfts_tpu = load_complex(str(out_dft), dftsize)
+        y_tpu, _ = read_wav(str(out_wav))
+
+        ref_wav = tmp / "oracle.wav"
+        write_wav(str(ref_wav), y_ref, sr)
+        y_ref_q, _ = read_wav(str(ref_wav))
+
+        assert dfts_tpu.shape == dfts_ref.shape, (dfts_tpu.shape, dfts_ref.shape)
+        derr = np.abs(dfts_tpu - dfts_ref).max()
+        yerr = np.abs(y_tpu - y_ref_q).max()
+        print(f"dft  max abs diff: {derr:.3e}  (tolerance 1e-7, test/main.py:79)")
+        print(f"wav  max abs diff: {yerr:.3e}")
+        assert derr < 1e-7, derr
+        assert yerr < 1e-6, yerr
+
+        # cross-algorithm sanity vs FFT STFT (test/main.py:56-63)
+        framesize = dftsize * 2
+        xd = np.roll(x, framesize)
+        xd[:framesize] = 0
+        stft = STFT(framesize=framesize, hopsize=hopsize, window=window)
+        stftx = stft.stft(xd)
+        corr = _spectro_corr(dfts_tpu, stftx[:dfts_tpu.shape[0]])
+        print(f"SDFT vs STFT log-spectrogram correlation: {corr:.4f}")
+        assert corr > 0.9, corr
+
+    print("crosscheck OK")
+    return 0
+
+
+def _spectro_corr(a, b):
+    """Correlation of dB magnitudes over the common shape."""
+    n = min(a.shape[0], b.shape[0])
+    k = min(a.shape[1], b.shape[1])
+    da = 20 * np.log10(np.abs(a[:n, :k]) + 1e-12)
+    db = 20 * np.log10(np.abs(b[:n, :k]) + 1e-12)
+    da, db = da.ravel(), db.ravel()
+    da -= da.mean()
+    db -= db.mean()
+    return float((da @ db) / np.sqrt((da @ da) * (db @ db)))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -9,10 +9,12 @@ bounded-memory streaming, and multi-chip sharding over bins/time/channels.
 """
 
 from .api import isdft, sdft
+from .compat import SDFT, STFT
 from .config import DEFAULT_PRECISION, FAST_PRECISION, Precision
 from .cplx import from_complex, to_complex
 from .plan import Plan
 from .state import State, init_state, reset_state, state_from_arrays, state_to_arrays
+from .stream import Streamer, iter_blocks
 from .windows import Window
 
 __version__ = "0.1.0"
@@ -21,6 +23,10 @@ __all__ = [
     "Plan",
     "State",
     "Window",
+    "SDFT",
+    "STFT",
+    "Streamer",
+    "iter_blocks",
     "Precision",
     "DEFAULT_PRECISION",
     "FAST_PRECISION",

@@ -1,3 +1,4 @@
+from . import multihost
 from .mesh import AXES, make_mesh, single_device_mesh
 from .sharded import (
     DFT_SPEC,
@@ -11,6 +12,7 @@ from .sharded import (
 
 __all__ = [
     "AXES",
+    "multihost",
     "make_mesh",
     "single_device_mesh",
     "sharded_sdft",
