@@ -24,9 +24,14 @@ def ensure_library() -> pathlib.Path:
         if LIBRARY.exists() and LIBRARY.stat().st_mtime >= SOURCE.stat().st_mtime:
             return LIBRARY
         LIBRARY.parent.mkdir(parents=True, exist_ok=True)
+        # -ffast-math matches the reference's own build flags
+        # (test/CMakeLists.txt:38-44, cpp/examples/bench.cmake:12-17) and is
+        # ~8x faster: without it every std::complex multiply goes through the
+        # __muldc3 NaN-checking libcall.  Differential tolerances (1e-7) are
+        # far above the reassociation noise this introduces at f64.
         cmd = [
-            "g++", "-O3", "-march=native", "-std=c++17", "-fPIC",
-            "-Wall", "-Wextra", "-shared",
+            "g++", "-O3", "-march=native", "-ffast-math", "-std=c++17",
+            "-fPIC", "-Wall", "-Wextra", "-shared",
             "-o", str(LIBRARY), str(SOURCE),
         ]
         proc = subprocess.run(cmd, capture_output=True, text=True)
