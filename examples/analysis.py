@@ -5,6 +5,12 @@ m=1000 bins, and renders the dB spectrogram to analysis.png (if matplotlib
 is available) — the classic single-tone sanity picture.
 """
 
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 from sdft_tpu import Plan, init_state, sdft, to_complex
@@ -31,24 +37,12 @@ def main():
     print(f"peak bin {peak} (expected ~{expect}), magnitude {mags[peak]:.4f}")
 
     try:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+        from sdft_tpu.viz import spectrogram
+        ax = spectrogram(dfts[::100], samplerate=sr, hopsize=100)
+        ax.figure.savefig("analysis.png", dpi=100)
+        print("wrote analysis.png")
     except ImportError:
         print("matplotlib not available; skipping plot")
-        return
-
-    with np.errstate(divide="ignore"):
-        db = 20 * np.log10(np.abs(dfts[::100]) + 1e-12)
-    plt.figure(figsize=(10, 5))
-    plt.imshow(db.T, origin="lower", aspect="auto", cmap="inferno",
-               extent=(0, n / sr, 0, sr / 2), vmin=-120, vmax=0)
-    plt.xlabel("time [s]")
-    plt.ylabel("frequency [Hz]")
-    plt.colorbar(label="dB")
-    plt.tight_layout()
-    plt.savefig("analysis.png", dpi=100)
-    print("wrote analysis.png")
 
 
 if __name__ == "__main__":

@@ -6,6 +6,12 @@ sample algorithmic delay — demonstrating that lower latency costs SNR
 (c/src/sdft/sdft.h:408-410).
 """
 
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 from sdft_tpu import Plan, init_state, isdft, sdft

@@ -5,7 +5,19 @@ reconstructs the interior of a random signal at unity gain for symmetric
 and asymmetric window configurations.
 """
 
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
 import numpy as np
+
+# The WOLA unity-gain bound (1e-8) is a float64 contract, matching the
+# reference's NumPy-double comparator; JAX defaults to float32 off-test.
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")
 
 from sdft_tpu.compat import STFT
 

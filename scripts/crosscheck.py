@@ -8,8 +8,10 @@ matrices and round-trip WAVs agree within the reference tolerances
 render side-by-side spectrograms.
 
 Usage:
-    python scripts/crosscheck.py [dftsize] [hopsize] [window] [latency] [wav]
+    python scripts/crosscheck.py [dftsize] [hopsize] [window] [latency] [wav] [plot.png]
 Defaults mirror test/main.sh: 1000 100 hann 1 /root/reference/test/test.wav
+A sixth argument saves side-by-side SDFT/oracle/STFT spectrograms (the
+reference's visual proof-of-concept, test/main.py:83-86) to that path.
 """
 
 import pathlib
@@ -34,6 +36,7 @@ def main(argv=None):
     window = argv[2] if len(argv) > 2 else "hann"
     latency = float(argv[3]) if len(argv) > 3 else 1.0
     src = argv[4] if len(argv) > 4 else "/root/reference/test/test.wav"
+    plot = argv[5] if len(argv) > 5 else None
 
     with tempfile.TemporaryDirectory() as tmp:
         tmp = pathlib.Path(tmp)
@@ -81,6 +84,14 @@ def main(argv=None):
         corr = _spectro_corr(dfts_tpu, stftx[:dfts_tpu.shape[0]])
         print(f"SDFT vs STFT log-spectrogram correlation: {corr:.4f}")
         assert corr > 0.9, corr
+
+        if plot:
+            from sdft_tpu.viz import compare_spectrograms
+            compare_spectrograms(
+                [("sdft (tpu)", dfts_tpu), ("sdft (oracle)", dfts_ref),
+                 ("stft (fft)", stftx[:dfts_tpu.shape[0], :dftsize])],
+                samplerate=sr, hopsize=hopsize, path=plot)
+            print(f"spectrograms saved to {plot}")
 
     print("crosscheck OK")
     return 0

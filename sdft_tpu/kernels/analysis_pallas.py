@@ -67,6 +67,7 @@ def plan_supported(plan: Plan, M: int) -> bool:
         and plan.dftsize % 128 == 0
         and plan.dftsize >= 256
         and M % TILE_K == 0
+        and plan.roi is None  # partial-band plans take the XLA path
     )
 
 

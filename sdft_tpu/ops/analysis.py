@@ -26,6 +26,7 @@ there is no drift for endless streams (see sdft_tpu.ops.twiddle).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..cplx import pack, unpack
 from ..plan import Plan
@@ -65,13 +66,25 @@ def sdft_block(plan: Plan, state: State, samples: jnp.ndarray):
     fid, conj_base = fiddle_block(plan, state.offset.astype(jnp.int32), M)
 
     rot = delta[:, None].astype(plan.precision.fdx_dtype) * fid
+    if plan.roi is not None:
+        # Bins outside the ROI are never accumulated (the reference's hot
+        # loop runs roi.first..roi.second only, c/src/sdft/sdft.h:570).
+        # Static mask: constant-folded by XLA.
+        first, last = plan.roi
+        mask = (np.arange(m) >= first) & (np.arange(m) < last)
+        rot = rot * jnp.asarray(mask, rot.dtype)
     rot = rot.at[0, :].add(unpack(state.accumulator))
     acc = jnp.cumsum(rot, axis=0)
     new_accumulator = pack(acc[-1, :])
 
     # demod exponent is offset+k+1: conj(fid) * conj(T_i)
     aux = acc * (jnp.conj(fid) * conj_base[None, :])
-    dfts = pack(window_convolve(plan, aux))
+    out = window_convolve(plan, aux)
+    if plan.roi is not None:
+        # The window conv also only writes ROI bins in the reference; spill
+        # into the first bins past the ROI edge reads as zero.
+        out = out * jnp.asarray(mask, out.dtype)
+    dfts = pack(out)
 
     new_state = State(
         offset=jnp.mod(state.offset + M, n2).astype(state.offset.dtype),

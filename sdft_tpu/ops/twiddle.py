@@ -97,8 +97,15 @@ def synthesis_twiddles(plan: Plan) -> jnp.ndarray:
     fd = plan.precision.fd_dtype
     i = jnp.arange(m, dtype=jnp.int32)
     if plan.latency == 1.0:
-        alt = jnp.where(i % 2 == 0, 1.0, -1.0).astype(fd)
-        return alt.astype(plan.precision.fdx_dtype)
-    angle = (-np.pi * plan.latency * i).astype(fd)
-    w = jnp.asarray(2.0 / (1.0 - np.cos(np.pi * plan.latency)), fd)
-    return w * (jnp.cos(angle) + 1j * jnp.sin(angle))
+        tw = jnp.where(i % 2 == 0, 1.0, -1.0).astype(fd)
+        tw = tw.astype(plan.precision.fdx_dtype)
+    else:
+        angle = (-np.pi * plan.latency * i).astype(fd)
+        w = jnp.asarray(2.0 / (1.0 - np.cos(np.pi * plan.latency)), fd)
+        tw = w * (jnp.cos(angle) + 1j * jnp.sin(angle))
+    if plan.roi is not None:
+        # Synthesis reduces over ROI bins only (synthesis.roi,
+        # c/src/sdft/sdft.h:639-653).
+        first, last = plan.roi
+        tw = tw * ((i >= first) & (i < last)).astype(fd)
+    return tw

@@ -175,6 +175,11 @@ def _inverse_local(plan: Plan, dfts, *, bins_sharded: bool):
 
 
 def _check_layout(plan: Plan, mesh: Mesh, C: int, M: int):
+    if plan.roi is not None:
+        # ROI is the single-device ancestor of bin sharding (SURVEY.md §2.4);
+        # combining both would shard an already-restricted band.
+        raise ValueError("roi-restricted plans are not supported under "
+                         "sharded execution; shard the bins axis instead")
     ax = dict(zip(mesh.axis_names, mesh.devices.shape))
     nc, nt, nb = ax["channel"], ax["time"], ax["bins"]
     if C % nc:

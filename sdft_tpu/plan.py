@@ -43,12 +43,18 @@ class Plan:
       latency: synthesis latency factor in (0, 1]; 1 = best SNR, smaller =
         lower latency and SNR (c/src/sdft/sdft.h:404-412).
       precision: TD/FD dtype pair (c/src/sdft/sdft.h:21-37).
+      roi: optional half-open bin range (first, last) to analyze/synthesize.
+        The reference carries this as internal plan state, always full-band
+        (analysis.roi/synthesis.roi, c/src/sdft/sdft.h:425-426,137-143); here
+        it is public: bins outside the ROI are never accumulated and read as
+        zero, and the inverse reduces only over ROI bins.  None = full band.
     """
 
     dftsize: int
     window: Window = Window.HANN
     latency: float = 1.0
     precision: Precision = DEFAULT_PRECISION
+    roi: tuple | None = None
 
     def __post_init__(self):
         if not isinstance(self.dftsize, int) or self.dftsize < 1:
@@ -69,6 +75,16 @@ class Plan:
                 f"dftsize {self.dftsize} too small for window {self.window.value} "
                 f"(needs at least {hop_min + 1} bins for Hermitian guards)"
             )
+        if self.roi is not None:
+            first, last = (int(self.roi[0]), int(self.roi[1]))
+            if not (0 <= first < last <= self.dftsize):
+                raise ValueError(
+                    f"roi must satisfy 0 <= first < last <= {self.dftsize}, "
+                    f"got {self.roi!r}")
+            if (first, last) == (0, self.dftsize):
+                object.__setattr__(self, "roi", None)  # canonical full band
+            else:
+                object.__setattr__(self, "roi", (first, last))
 
     # -- derived static quantities -------------------------------------------
 
@@ -86,6 +102,11 @@ class Plan:
     def synthesis_weight(self) -> float:
         """Inverse scale factor 2 (c/src/sdft/sdft.h:423)."""
         return 2.0
+
+    @property
+    def roi_bins(self) -> tuple:
+        """Resolved half-open bin range (first, last)."""
+        return self.roi if self.roi is not None else (0, self.dftsize)
 
     @property
     def synthesis_delay(self) -> int:

@@ -1,0 +1,247 @@
+"""Profiling, tracing and roofline accounting.
+
+The reference has no profiling subsystem — its closest artifacts are the
+wall-clock microsecond prints of the bench drivers (reference:
+cpp/examples/bench.cpp:38-48) and progress percentages in the test drivers
+(test/test.c:67-77).  For a TPU framework this becomes three first-class
+pieces:
+
+  * :func:`trace` — context manager around ``jax.profiler.trace`` producing
+    TensorBoard/XProf traces of the compiled programs;
+  * :class:`OpCost` / :func:`analysis_cost` — analytic FLOP and HBM-byte
+    accounting of the blockwise SDFT ops, the inputs to a roofline model;
+  * :func:`benchmark` — honest wall-clock timing of a jitted step with
+    device synchronization, reporting achieved FLOP/s and HBM bandwidth
+    against the chip's peak where known.
+
+Run it from the CLI:  ``python -m sdft_tpu bench [m] [block] [runs]``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+from .plan import Plan
+from .windows import WINDOW_HALO
+
+__all__ = ["trace", "OpCost", "analysis_cost", "synthesis_cost",
+           "roundtrip_cost", "benchmark", "benchmark_marginal",
+           "device_peaks"]
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture an XProf/TensorBoard trace of everything run in the block.
+
+    View with ``tensorboard --logdir <logdir>`` (Profile tab) or xprof.
+    """
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclasses.dataclass(frozen=True)
+class OpCost:
+    """Analytic cost of one op invocation (per channel)."""
+
+    flops: int          # real FLOPs (adds + muls)
+    hbm_bytes: int      # unavoidable HBM traffic (inputs + outputs + state)
+
+    @property
+    def intensity(self) -> float:
+        """Arithmetic intensity in FLOP/byte — the roofline x-axis."""
+        return self.flops / max(self.hbm_bytes, 1)
+
+
+def _itemsize(plan: Plan) -> int:
+    return np.dtype(plan.precision.fd_dtype).itemsize
+
+
+def analysis_cost(plan: Plan, n_samples: int, emit_dfts: bool = True) -> OpCost:
+    """FLOPs/bytes of the forward blockwise analysis (SURVEY.md §0.3).
+
+    Per (sample, bin): rotate delta into the bin frame (2 mul), prefix-sum
+    (2 add), carry add (2), demodulate (6: complex multiply), and the
+    window convolution — ``2*(1 + 2*halo)`` multiplies plus ``2*2*halo``
+    adds plus the normalization.
+    """
+    m, halo = plan.dftsize, WINDOW_HALO[plan.window]
+    per_bin = 2 + 2 + 2 + 6 + 2 * (1 + 2 * halo) + 4 * halo + 2
+    flops = n_samples * m * per_bin
+    fd = _itemsize(plan)
+    td = np.dtype(plan.precision.td_dtype).itemsize
+    state_bytes = (2 * m * td) + (m * 2 * fd)       # delayline + accumulator
+    bytes_ = n_samples * td + 2 * state_bytes
+    if emit_dfts:
+        bytes_ += n_samples * m * 2 * fd
+    return OpCost(flops=flops, hbm_bytes=bytes_)
+
+
+def synthesis_cost(plan: Plan, n_samples: int, read_dfts: bool = True) -> OpCost:
+    """FLOPs/bytes of the inverse bin-sum (c/src/sdft/sdft.h:635-657)."""
+    m = plan.dftsize
+    per_bin = 2 if plan.latency == 1.0 else 4
+    flops = n_samples * m * per_bin
+    fd = _itemsize(plan)
+    td = np.dtype(plan.precision.td_dtype).itemsize
+    bytes_ = n_samples * td + (n_samples * m * 2 * fd if read_dfts else 0)
+    return OpCost(flops=flops, hbm_bytes=bytes_)
+
+
+def roundtrip_cost(plan: Plan, n_samples: int) -> OpCost:
+    """Fused analysis+synthesis: spectra never touch HBM (the Pallas path)."""
+    a = analysis_cost(plan, n_samples, emit_dfts=False)
+    s = synthesis_cost(plan, n_samples, read_dfts=False)
+    return OpCost(flops=a.flops + s.flops, hbm_bytes=a.hbm_bytes + s.hbm_bytes)
+
+
+#: Published per-chip peaks (bf16 MXU FLOP/s, HBM byte/s) by device kind
+#: substring.  f32 VPU peak is not published; achieved f32 FLOP/s is
+#: reported as-is.
+_PEAKS = {
+    "v6": (918e12, 1640e9),
+    "v5p": (459e12, 2765e9),
+    "v5": (197e12, 819e9),       # v5e / "v5 lite"
+    "v4": (275e12, 1228e9),
+    "v3": (123e12, 900e9),
+    "v2": (45e12, 700e9),
+}
+
+
+def device_peaks(device=None):
+    """(bf16_flops, hbm_bytes_per_s) for the local chip, or (None, None)."""
+    try:
+        kind = (device or jax.devices()[0]).device_kind.lower()
+    except Exception:
+        return None, None
+    for key, peaks in _PEAKS.items():
+        if key in kind:
+            return peaks
+    return None, None
+
+
+def benchmark(fn, args, *, iters: int = 5, warmup: int = 2,
+              cost: OpCost | None = None):
+    """Time ``fn(*args)`` with device sync; returns a result dict.
+
+    ``fn`` should be jitted; the first (warmup) calls absorb compilation.
+    When ``cost`` is given, achieved FLOP/s, HBM GB/s and the roofline
+    bound are included.
+
+    Caveat: on hosted/tunneled TPU backends, per-call dispatch latency is
+    tens of milliseconds and ``block_until_ready`` can return optimistically
+    — for sub-millisecond kernels use :func:`benchmark_marginal`, which
+    amortizes dispatch by chaining steps inside one compiled program.
+    """
+    for _ in range(max(warmup, 1)):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    out = {"seconds": best, "median_seconds": float(np.median(times))}
+    if cost is not None:
+        _add_roofline(out, cost, best)
+    return out
+
+
+def _add_roofline(out, cost, seconds):
+    out["flops_per_s"] = cost.flops / seconds
+    out["hbm_gb_per_s"] = cost.hbm_bytes / seconds / 1e9
+    out["intensity_flop_per_byte"] = cost.intensity
+    peak_flops, peak_bw = device_peaks()
+    if peak_bw:
+        out["hbm_roofline_fraction"] = (cost.hbm_bytes / seconds) / peak_bw
+
+
+def benchmark_marginal(step, state, xs, *, k_lo: int = 4, k_hi: int = 12,
+                       repeats: int = 3, cost: OpCost | None = None):
+    """Marginal per-step cost of a state-threading step function.
+
+    Compiles ``lax.scan`` chains of ``k_lo`` and ``k_hi`` sequential steps
+    (state threaded, outputs reduced through a nonlinear scalar fetched to
+    host — a hard barrier XLA cannot reassociate away), and reports
+    ``(t(k_hi) - t(k_lo)) / (k_hi - k_lo)``: fixed dispatch/tunnel latency
+    cancels out.  ``step(state, x) -> (state, y)``; ``xs`` has a leading
+    axis of at least ``k_hi``.
+    """
+    import functools
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def many(state, xs, k):
+        def body(st, x):
+            st, y = step(st, x)
+            return st, jnp.sum(y * y)
+        _, ys = lax.scan(body, state, xs[:k])
+        return jnp.sum(ys)
+
+    def timed(k):
+        float(many(state, xs, k))  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(many(state, xs, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(k_lo), timed(k_hi)
+    per_step = (t_hi - t_lo) / (k_hi - k_lo)
+    out = {"seconds": per_step, "chain_lo_seconds": t_lo,
+           "chain_hi_seconds": t_hi}
+    if cost is not None:
+        _add_roofline(out, cost, per_step)
+    return out
+
+
+def bench_cli(argv) -> int:
+    """``python -m sdft_tpu bench [m] [block] [runs]`` — roundtrip bench
+    with roofline accounting (the §3.5 bench protocol, m=4096 default)."""
+    import jax.numpy as jnp
+
+    from .config import FAST_PRECISION
+    from .state import init_state
+    from .kernels import pallas_supported, roundtrip_block_fused
+    from .ops.analysis import sdft_block
+    from .ops.synthesis import isdft_block
+
+    m = int(argv[0]) if len(argv) > 0 else 4096
+    block = int(argv[1]) if len(argv) > 1 else 16384
+    runs = int(argv[2]) if len(argv) > 2 else 3
+
+    plan = Plan(m, window="hann", precision=FAST_PRECISION)
+    state = init_state(plan)
+    xs = jnp.asarray(np.random.default_rng(0).standard_normal((12, block)),
+                     plan.precision.td_dtype)
+    use_pallas = pallas_supported()
+
+    def step(state, x):
+        if use_pallas:
+            return roundtrip_block_fused(plan, state, x)
+        st, d = sdft_block(plan, state, x)
+        return st, isdft_block(plan, d)
+
+    cost = roundtrip_cost(plan, block)
+    res = benchmark_marginal(step, state, xs, repeats=runs, cost=cost)
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({jax.default_backend()}), "
+          f"pallas: {'on' if use_pallas else 'off'}")
+    print(f"m={m} block={block}: {res['seconds'] * 1e3:.3f} ms/block marginal "
+          f"-> {block / res['seconds']:,.0f} samples/s")
+    print(f"achieved: {res['flops_per_s'] / 1e12:.3f} TFLOP/s (f32), "
+          f"{res['hbm_gb_per_s']:.1f} GB/s HBM "
+          f"(intensity {res['intensity_flop_per_byte']:.1f} FLOP/B)")
+    if "hbm_roofline_fraction" in res:
+        print(f"HBM roofline fraction: {res['hbm_roofline_fraction']:.1%}")
+    return 0
