@@ -15,13 +15,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 
 from sdft_tpu import Plan, init_state, isdft, sdft
-
-
-def snr_db(x, y, delay):
-    """10*log10(mean(x^2)/mean((y-x)^2)) after delay removal
-    (python/examples/latency.py:50-57)."""
-    xa, ya = x[: x.size - delay], y[delay:]
-    return 10 * np.log10(np.mean(xa**2) / np.mean((ya - xa) ** 2))
+from sdft_tpu.metrics import roundtrip_snr_db
 
 
 def main():
@@ -37,9 +31,8 @@ def main():
         state = init_state(plan)
         _, dfts = sdft(plan, state, x)
         y = np.asarray(isdft(plan, dfts), dtype=np.float64)
-        delay = plan.synthesis_delay
-        print(f"latency {latency:4.2f}: delay {delay:5d} samples, "
-              f"SNR {snr_db(x, y, delay):6.2f} dB")
+        print(f"latency {latency:4.2f}: delay {plan.synthesis_delay:5d} samples, "
+              f"SNR {roundtrip_snr_db(x, y, plan):6.2f} dB")
 
 
 if __name__ == "__main__":

@@ -14,11 +14,26 @@ A sixth argument saves side-by-side SDFT/oracle/STFT spectrograms (the
 reference's visual proof-of-concept, test/main.py:83-86) to that path.
 """
 
+import os
 import pathlib
 import sys
 import tempfile
 
-import numpy as np
+# The parity gate runs the f64 XLA path (SURVEY.md §7: f64 mode for parity
+# runs) — the reference tolerance of 1e-7 (test/main.py:79) is a float64
+# contract.  The TPU float32 fast path has its own gates in
+# tests/test_pallas_kernels.py; set SDFT_CROSSCHECK_BACKEND to override.
+_backend = os.environ.get("SDFT_CROSSCHECK_BACKEND", "cpu")
+os.environ["JAX_PLATFORMS"] = _backend
+
+import jax  # noqa: E402
+
+# the hosted TPU plugin overrides JAX_PLATFORMS at import; config wins as
+# long as no backend is initialized yet (same dance as tests/conftest.py)
+jax.config.update("jax_platforms", _backend)
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
@@ -42,8 +57,13 @@ def main(argv=None):
         tmp = pathlib.Path(tmp)
         out_wav = tmp / "tpu.wav"
         out_dft = tmp / "tpu.dft"
+        # whole-hop chunking is invariant (test_core_parity.py); a large
+        # internal block amortizes dispatch without changing any output bit
+        # (kept moderate: per-block cumsum rounding grows with block length,
+        # and the 1e-7 gate leaves ~one f64 ulp of headroom per 4k samples)
+        block = hopsize * max(1, 4096 // hopsize)
         rc = cli_main([str(dftsize), str(hopsize), window, str(latency),
-                       src, str(out_wav), str(out_dft)])
+                       src, str(out_wav), str(out_dft), "--block", str(block)])
         assert rc == 0
 
         x, sr = read_wav(src)

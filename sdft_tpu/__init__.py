@@ -12,6 +12,7 @@ from .api import isdft, sdft
 from .compat import SDFT, STFT
 from .config import DEFAULT_PRECISION, FAST_PRECISION, Precision
 from .cplx import from_complex, to_complex
+from .metrics import roundtrip_snr_db, snr_db
 from .plan import Plan
 from .state import State, init_state, reset_state, state_from_arrays, state_to_arrays
 from .stream import Streamer, iter_blocks
@@ -34,6 +35,8 @@ __all__ = [
     "isdft",
     "to_complex",
     "from_complex",
+    "snr_db",
+    "roundtrip_snr_db",
     "init_state",
     "reset_state",
     "state_to_arrays",

@@ -69,7 +69,7 @@ def main(argv=None) -> int:
         ys.append(np.asarray(isdft(plan, dfts)))
         # keep the DFT vector of each hop's first sample (test/test.c:82)
         hop_dfts.append(to_complex(np.asarray(dfts)[::hopsize]))
-        percent = (i + block) / size
+        percent = min(i + block, size) / size
         if int(percent * 10) != progress:
             progress = int(percent * 10)
             print(f"{progress * 10}%")

@@ -125,8 +125,8 @@ def test_multichannel_vmap_matches_loop():
 
 def _snr_db(x, y, delay):
     """Reference quality metric (python/examples/latency.py:50-57)."""
-    xa, ya = x[:x.size - delay], y[delay:]
-    return 10 * np.log10(np.mean(xa**2) / np.mean((ya - xa) ** 2))
+    from sdft_tpu.metrics import roundtrip_snr_db
+    return roundtrip_snr_db(x, y, delay=delay)
 
 
 @pytest.mark.parametrize("latency", [1.0, 0.5])
