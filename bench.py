@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 M_BINS = 4096
-BLOCK = 16384
+BLOCK = 32768
 WARMUP = 2
 RUNS = 8
 
@@ -41,7 +41,8 @@ def bench_tpu():
     import jax.numpy as jnp
     from jax import lax
     from sdft_tpu import FAST_PRECISION, Plan, init_state
-    from sdft_tpu.kernels import roundtrip_block_fused, pallas_supported
+    from sdft_tpu.kernels import forward_block_pallas, pallas_supported
+    from sdft_tpu.ops.lti import roundtrip_block_lti
     from sdft_tpu.ops.analysis import sdft_block
     from sdft_tpu.ops.synthesis import isdft_block
 
@@ -50,41 +51,51 @@ def bench_tpu():
     use_pallas = pallas_supported()
     log(f"pallas kernels: {'on' if use_pallas else 'off (fallback XLA)'}")
 
-    @functools.partial(jax.jit, static_argnums=2)
-    def many(state, xs, k):
-        def body(st, x):
-            if use_pallas:
-                st, y = roundtrip_block_fused(plan, st, x)
-            else:
-                st, d = sdft_block(plan, st, x)
-                y = isdft_block(plan, d)
-            return st, jnp.sum(y * y)
-        st, ys = lax.scan(body, state, xs[:k])
-        return jnp.sum(ys)
+    def chain(step):
+        @functools.partial(jax.jit, static_argnums=2)
+        def many(state, xs, k):
+            def body(st, x):
+                st, y = step(st, x)
+                return st, jnp.sum(y * y)
+            st, ys = lax.scan(body, state, xs[:k])
+            return jnp.sum(ys)
+        return many
 
     rng = np.random.default_rng(0)
-    k_lo, k_hi = 4, 4 + RUNS
+    k_lo, k_hi = 8, 8 + 4 * RUNS
     xs = jax.device_put(rng.standard_normal((k_hi, BLOCK)).astype(np.float32))
     state = init_state(plan)
 
-    def timed(k, n=3):
-        t0 = time.perf_counter()
-        float(many(state, xs, k))  # includes compile on first call
-        first = time.perf_counter() - t0
-        best = first
-        for _ in range(n):
-            t0 = time.perf_counter()
-            float(many(state, xs, k))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def marginal(many, n=6):
+        def timed(k):
+            float(many(state, xs, k))  # compile + warm
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.perf_counter()
+                float(many(state, xs, k))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        t_lo = timed(k_lo)
+        t_hi = timed(k_hi)
+        return (t_hi - t_lo) / (k_hi - k_lo), t_lo, t_hi
 
-    t_lo = timed(k_lo)
-    t_hi = timed(k_hi)
-    per_block = (t_hi - t_lo) / (k_hi - k_lo)
+    # headline: the collapsed LTI round trip (sdft_tpu.ops.lti) — all FLOPs
+    # on the MXU, spectra never materialized (the no-transform fast path)
+    many_rt = chain(lambda st, x: roundtrip_block_lti(plan, st, x))
+    per_block, t_lo, t_hi = marginal(many_rt)
     rate = BLOCK / per_block
-    log(f"tpu roundtrip: {per_block * 1e3:.2f} ms/block marginal "
+    log(f"tpu roundtrip (LTI): {per_block * 1e3:.3f} ms/block marginal "
         f"(chain {k_lo}: {t_lo * 1e3:.1f} ms, chain {k_hi}: {t_hi * 1e3:.1f} ms) "
         f"-> {rate:,.0f} samples/s")
+
+    # diagnostic: forward analysis emitting all spectra (Pallas kernel)
+    if use_pallas:
+        def fwd(st, x):
+            st, d = forward_block_pallas(plan, st, x)
+            return st, d[..., 0, 0]
+        per_f, _, _ = marginal(chain(fwd), n=3)
+        log(f"tpu forward+spectra (pallas): {per_f * 1e3:.3f} ms/block "
+            f"-> {BLOCK / per_f:,.0f} samples/s")
     return rate
 
 

@@ -8,7 +8,7 @@ Blackman frequency-domain windowing, configurable TD/FD precision, endless
 bounded-memory streaming, and multi-chip sharding over bins/time/channels.
 """
 
-from .api import isdft, sdft
+from .api import isdft, roundtrip, sdft
 from .compat import SDFT, STFT
 from .config import DEFAULT_PRECISION, FAST_PRECISION, Precision
 from .cplx import from_complex, to_complex
@@ -33,6 +33,7 @@ __all__ = [
     "FAST_PRECISION",
     "sdft",
     "isdft",
+    "roundtrip",
     "to_complex",
     "from_complex",
     "snr_db",

@@ -97,7 +97,7 @@ def _cumsum_rows(v, K, mode="vpu"):
 
 def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
             *refs, plan: Plan, emit_dfts: bool, emit_y: bool,
-            cumsum_mode: str = "vpu"):
+            cumsum_mode: str = "vpu", tile_k: int = TILE_K):
     """Fused per-tile body.
 
     Algebraic form (see module docstring for the phase split): with
@@ -111,6 +111,7 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
     fid matrix is never materialized, and conj(fine)*base is a constant
     hoisted into scratch at t == 0.
     """
+    K = tile_k
     idx = 0
     dft_re_ref = dft_im_ref = y_ref = None
     if emit_dfts:
@@ -134,8 +135,8 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
 
     @pl.when(t == 0)
     def _init():
-        kk = lax.broadcasted_iota(jnp.int32, (TILE_K, W), 0)
-        iw = lax.broadcasted_iota(jnp.int32, (TILE_K, W), 1) - PAD
+        kk = lax.broadcasted_iota(jnp.int32, (K, W), 0)
+        iw = lax.broadcasted_iota(jnp.int32, (K, W), 1) - PAD
         r = jnp.mod(kk * iw, n2)
         ang = omega * r.astype(jnp.float32)
         fre = jnp.cos(ang)
@@ -150,17 +151,17 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
         dmf_im[:] = fre * bim - fim * bre
         acc[:] = acc_in_ref[:]
 
-    # row0 = T^(e0 * i), e0 = offset + t*TILE_K (mod 2m)
-    e0 = jnp.mod(off_ref[0, 0] + t * TILE_K, n2)
+    # row0 = T^(e0 * i), e0 = offset + t*K (mod 2m)
+    e0 = jnp.mod(off_ref[0, 0] + t * K, n2)
     r0 = jnp.mod(e0 * ib, n2)
     ang0 = omega * r0.astype(jnp.float32)
     r0_re = jnp.cos(ang0)
     r0_im = jnp.sin(ang0)
 
     # v = delta * fine; prefix sum along time
-    d = delta_ref[0, pl.ds(pl.multiple_of(t * TILE_K, 128), TILE_K)].reshape(TILE_K, 1)
-    cv_re = _cumsum_rows(d * fine_re[:], TILE_K, cumsum_mode)
-    cv_im = _cumsum_rows(d * fine_im[:], TILE_K, cumsum_mode)
+    d = delta_ref[0, pl.ds(pl.multiple_of(t * K, min(K, 128)), K)].reshape(K, 1)
+    cv_re = _cumsum_rows(d * fine_re[:], K, cumsum_mode)
+    cv_im = _cumsum_rows(d * fine_im[:], K, cumsum_mode)
 
     # carry in the demodulated frame: acc * conj(row0) (rows, broadcast)
     a_re = acc[0:1, :]
@@ -171,8 +172,8 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
     u_im = cv_im + c0_im
 
     # acc' = acc + row0 * cumv[last]  (exact global frame, no approximation)
-    l_re = cv_re[TILE_K - 1:TILE_K, :]
-    l_im = cv_im[TILE_K - 1:TILE_K, :]
+    l_re = cv_re[K - 1:K, :]
+    l_im = cv_im[K - 1:K, :]
     acc[0:1, :] = a_re + r0_re * l_re - r0_im * l_im
     acc[1:2, :] = a_im + r0_re * l_im + r0_im * l_re
 
@@ -186,9 +187,14 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
 
     halo = WINDOW_HALO[plan.window]
     if halo > 0:
-        # Hermitian edge guards: bins -k <- conj(bin k); bins (m-1)+k <-
-        # conj(bin (m-1)-k)  (c/src/sdft/sdft.h:589-595).
-        cols = lax.broadcasted_iota(jnp.int32, (TILE_K, W), 1)
+        # Hermitian edge guards (c/src/sdft/sdft.h:589-595): bins -g <-
+        # conj(bin g) and bins (m-1)+g <- conj(bin (m-1)-g).  The DC-side
+        # guard holds identically in this kernel: for real delta the exact
+        # integer-exponent phases give T_{-g}^e = conj(T_g^e), so every left
+        # pad column already equals the conjugate of its mirror — only the
+        # top edge (mirror around m-1, which differs from the spectrum's
+        # natural 2m-periodic conjugate mirror around m) needs a write.
+        cols = lax.broadcasted_iota(jnp.int32, (K, W), 1)
 
         def put_guard(a_re, a_im, dst, src):
             msk = cols == dst
@@ -198,7 +204,6 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
                     jnp.where(msk, -src_im, a_im))
 
         for g in range(1, halo + 1):
-            aux_re, aux_im = put_guard(aux_re, aux_im, PAD - g, PAD + g)
             aux_re, aux_im = put_guard(aux_re, aux_im, PAD + m - 1 + g,
                                        PAD + m - 1 - g)
 
@@ -233,27 +238,36 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
             y = y - jnp.dot(out_im, s_im.reshape(m, 1)[:, 0],
                             preferred_element_type=jnp.float32,
                             precision=lax.Precision.HIGHEST)
-        y_ref[0, pl.ds(pl.multiple_of(t * TILE_K, 128), TILE_K)] = (
+        y_ref[0, pl.ds(pl.multiple_of(t * K, min(K, 128)), K)] = (
             np.float32(plan.synthesis_weight) * y)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
 def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
-            interpret: bool = False, cumsum_mode: str = "vpu"):
+            interpret: bool = False, cumsum_mode: str = "vpu",
+            tile_k: int = TILE_K):
     m = plan.dftsize
     n2 = 2 * m
     W = m + 2 * PAD
     (M,) = samples.shape
-    nt = M // TILE_K
+    if M % tile_k:
+        raise ValueError(f"block length {M} not a multiple of tile_k {tile_k}")
+    nt = M // tile_k
 
     samples = samples.astype(jnp.float32)
     line = jnp.concatenate([state.delayline.astype(jnp.float32), samples])
     delta = (samples - line[:M]).reshape(1, M)
     new_delayline = line[M:].astype(plan.precision.td_dtype)
 
-    # acc planar (2, W) with zero pads; state.accumulator packed (m, 2)
+    # acc planar (2, W) with zero pads; state.accumulator packed (m, 2).
+    # The kernel relies on the left pad staying the exact conjugate mirror of
+    # the interior (see the guard comment in _kernel), so seed the halo
+    # columns of a carried-in accumulator accordingly.
     acc_in = jnp.zeros((2, W), jnp.float32)
     acc_in = acc_in.at[:, PAD:PAD + m].set(state.accumulator.T.astype(jnp.float32))
+    for g in range(1, WINDOW_HALO[plan.window] + 1):
+        acc_in = acc_in.at[0, PAD - g].set(acc_in[0, PAD + g])
+        acc_in = acc_in.at[1, PAD - g].set(-acc_in[1, PAD + g])
 
     # synthesis row (2, W), zero pads
     tw = synthesis_twiddles(plan)
@@ -267,7 +281,7 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
     out_specs = []
     if emit_dfts:
         out_shapes += [jax.ShapeDtypeStruct((M, m), jnp.float32)] * 2
-        out_specs += [pl.BlockSpec((TILE_K, m), lambda t: (t, 0),
+        out_specs += [pl.BlockSpec((tile_k, m), lambda t: (t, 0),
                                    memory_space=pltpu.VMEM)] * 2
     if emit_y:
         out_shapes += [jax.ShapeDtypeStruct((1, M), jnp.float32)]
@@ -279,7 +293,8 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
                                memory_space=pltpu.VMEM)]
 
     kernel = functools.partial(_kernel, plan=plan, emit_dfts=emit_dfts,
-                               emit_y=emit_y, cumsum_mode=cumsum_mode)
+                               emit_y=emit_y, cumsum_mode=cumsum_mode,
+                               tile_k=tile_k)
     outs = pl.pallas_call(
         kernel,
         grid=(nt,),
@@ -295,10 +310,10 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
         out_shape=tuple(out_shapes),
         out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.VMEM((TILE_K, W), jnp.float32),  # fine_re
-            pltpu.VMEM((TILE_K, W), jnp.float32),  # fine_im
-            pltpu.VMEM((TILE_K, W), jnp.float32),  # demod_fine re
-            pltpu.VMEM((TILE_K, W), jnp.float32),  # demod_fine im
+            pltpu.VMEM((tile_k, W), jnp.float32),  # fine_re
+            pltpu.VMEM((tile_k, W), jnp.float32),  # fine_im
+            pltpu.VMEM((tile_k, W), jnp.float32),  # demod_fine re
+            pltpu.VMEM((tile_k, W), jnp.float32),  # demod_fine im
             pltpu.VMEM((2, W), jnp.float32),       # acc carry
         ],
         compiler_params=pltpu.CompilerParams(
@@ -326,23 +341,24 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
 
 
 def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
-                         cumsum_mode="vpu"):
+                         cumsum_mode="vpu", tile_k=TILE_K):
     """Fused forward analysis; returns (state, dfts packed (M, m, 2))."""
     new_state, dfts, _ = _launch(plan, state, samples, True, False, interpret,
-                                 cumsum_mode)
+                                 cumsum_mode, tile_k)
     return new_state, dfts
 
 
 def roundtrip_block_fused(plan: Plan, state: State, samples, interpret=False,
-                          cumsum_mode="vpu"):
+                          cumsum_mode="vpu", tile_k=TILE_K):
     """Fused analysis + synthesis; spectra never touch HBM.
     Returns (state, samples_out (M,))."""
     new_state, _, y = _launch(plan, state, samples, False, True, interpret,
-                              cumsum_mode)
+                              cumsum_mode, tile_k)
     return new_state, y
 
 
 def forward_and_y_pallas(plan: Plan, state: State, samples, interpret=False,
-                        cumsum_mode="vpu"):
+                        cumsum_mode="vpu", tile_k=TILE_K):
     """Fused analysis emitting both spectra and synthesized samples."""
-    return _launch(plan, state, samples, True, True, interpret, cumsum_mode)
+    return _launch(plan, state, samples, True, True, interpret, cumsum_mode,
+                   tile_k)

@@ -1,0 +1,200 @@
+"""Collapsed (LTI) formulation of the sdft -> isdft round trip.
+
+When no spectral transform is applied between analysis and synthesis, the
+round trip is a linear time-invariant map of the comb deltas: demodulation,
+Hermitian edge guards, the window's bin convolution and the synthesis
+reduction (c/src/sdft/sdft.h:562-657) are all *linear* in the accumulator,
+so the order of the time prefix-sum and the bin contraction can be swapped.
+Writing a block of M samples as nt tiles of K (u = per-tile scan state in
+the tile-demodulated frame, as in kernels/analysis_pallas.py):
+
+    y[k] = sum_j  P[k,j] * u_re[k,j] + Q[k,j] * u_im[k,j]
+    u    = cumsum_k(delta[k] * fine[k,j]) + acc_tile * conj(row0)
+
+with P, Q the adjoint of (demod * guards * window-conv * synthesis) and
+fine[k,j] = T_j^k.  Substituting and exchanging sums:
+
+    y_tile = delta_tile @ (G o L)^T  +  c0_re @ P^T + c0_im @ Q^T
+    G[k,k'] = sum_j P[k,j]*fine_re[k',j] + Q[k,j]*fine_im[k',j]
+    L[k,k'] = 1{k' <= k}                      (causality of the prefix sum)
+
+where G, P, Q, fine are *plan constants*.  The accumulator evolution across
+tiles batches too: per-tile totals are one (nt,K)@(K,m) matmul, the carry
+recurrence is a length-nt cumsum of rotated totals.  The entire round trip
+becomes three MXU matmuls + O(nt*m) elementwise work — the O(M*m) VPU
+elementwise scan pipeline disappears.  This is the TPU-first answer to the
+reference's hot loop: all FLOPs ride the systolic array.
+
+Exactness: phases still come from integer exponents mod 2m
+(sdft_tpu.ops.twiddle), the carried State is bit-identical in meaning to the
+scan path's, and the output equals the sdft_block+isdft_block composition up
+to floating-point reassociation (gated by tests against the XLA path and the
+native oracle).  Works for every window, any latency, ROI plans, f32 and
+f64, on TPU and CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..plan import Plan
+from ..state import State
+from ..windows import WINDOW_HALO, WINDOW_TAPS
+
+K_TILE = 128
+
+
+@functools.lru_cache(maxsize=None)
+def _lti_constants(plan: Plan, K: int):
+    """Host-side (numpy, float64) plan constants for the collapsed round trip.
+
+    Returns (fine_re, fine_im, P, Q, GLT) with shapes (K,m),(K,m),(K,m),(K,m),
+    (K,K); GLT = (G o L)^T ready for ``delta_tile @ GLT``.
+    """
+    m = plan.dftsize
+    n2 = 2 * m
+    halo = WINDOW_HALO[plan.window]
+    c = WINDOW_TAPS[plan.window]
+    i = np.arange(m)
+    k = np.arange(K)
+
+    # fine[k,j] = T_j^k and dmf[k,j] = conj(T_j^(k+1)), exact integer phases
+    ang = (-np.pi / m) * ((k[:, None] * i[None, :]) % n2)
+    fine = np.cos(ang) + 1j * np.sin(ang)
+    angd = (np.pi / m) * (((k[:, None] + 1) * i[None, :]) % n2)
+    dmf = np.cos(angd) + 1j * np.sin(angd)
+
+    # synthesis row (twiddle.synthesis_twiddles semantics, float64)
+    if plan.latency == 1.0:
+        s_re = np.where(i % 2 == 0, 1.0, -1.0)
+        s_im = np.zeros(m)
+    else:
+        w = 2.0 / (1.0 - np.cos(np.pi * plan.latency))
+        angs = -np.pi * plan.latency * i
+        s_re = w * np.cos(angs)
+        s_im = w * np.sin(angs)
+    if plan.roi is not None:
+        first, last = plan.roi
+        roi_mask = ((i >= first) & (i < last)).astype(np.float64)
+        s_re = s_re * roi_mask
+        s_im = s_im * roi_mask
+
+    # adjoint of the synthesis+conv chain: y = sw*(dft_re@s_re - dft_im@s_im),
+    # dft = wgt * conv(aux).  alpha/beta are the coefficients of aux_re/aux_im
+    # on the guard-extended bin axis [-halo, m+halo).
+    scale = plan.analysis_weight * plan.synthesis_weight
+    aR = np.zeros(m + 2 * halo)
+    aI = np.zeros(m + 2 * halo)
+    if plan.latency == 1.0:
+        s_im = np.zeros(m)  # kernel skips the imaginary dot entirely
+    for g in range(-halo, halo + 1):
+        aR[halo + g: halo + g + m] += scale * c[abs(g)] * s_re
+        aI[halo + g: halo + g + m] += -scale * c[abs(g)] * s_im
+    # fold the Hermitian guards (c/src/sdft/sdft.h:589-595): aux[-g] =
+    # conj(aux[g]) and aux[m-1+g] = conj(aux[m-1-g]) move each guard
+    # coefficient onto its mirror bin with the imaginary part negated.
+    for g in range(1, halo + 1):
+        aR[halo + g] += aR[halo - g]
+        aI[halo + g] -= aI[halo - g]
+        aR[halo + m - 1 - g] += aR[halo + m - 1 + g]
+        aI[halo + m - 1 - g] -= aI[halo + m - 1 + g]
+    alpha = aR[halo: halo + m]
+    beta = aI[halo: halo + m]
+
+    # adjoint of the demodulation aux = u * dmf
+    P = alpha * dmf.real + beta * dmf.imag
+    Q = beta * dmf.real - alpha * dmf.imag
+
+    # ROI: bins outside the ROI are never accumulated
+    # (c/src/sdft/sdft.h:570); zeroing the fine columns makes u vanish there
+    # in both the totals and the G contraction, matching ops.analysis.
+    if plan.roi is not None:
+        fine = fine * roi_mask
+    G = P @ fine.real.T + Q @ fine.imag.T
+    GLT = (G * (k[None, :] <= k[:, None])).T
+    return fine.real, fine.imag, P, Q, GLT
+
+
+def lti_supported(plan: Plan, M: int) -> bool:
+    """The collapsed path covers every plan; kept as a hook for future
+    constraints (and symmetry with kernels.plan_supported)."""
+    del plan, M
+    return True
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def roundtrip_block_lti(plan: Plan, state: State, samples: jnp.ndarray):
+    """Fused forward+inverse round trip of one block for one channel.
+
+    Args:
+      plan: static plan.
+      state: carry (offset (), delayline (2m,), accumulator (m, 2)).
+      samples: (M,) real samples, any M (internally zero-padded to tiles;
+        zero deltas do not perturb the carry).
+
+    Returns:
+      (new_state, y) with y (M,) in TD precision — equal to
+      ``isdft_block(plan, sdft_block(plan, state, samples)[1])`` up to
+      rounding, with the identical new state.
+    """
+    m = plan.dftsize
+    n2 = 2 * m
+    td = plan.precision.td_dtype
+    fd = plan.precision.fd_dtype
+    (M,) = samples.shape
+    K = K_TILE
+    nt = -(-M // K)
+    Mp = nt * K
+
+    fine_re, fine_im, P, Q, GLT = (jnp.asarray(a, fd)
+                                   for a in _lti_constants(plan, K))
+
+    samples = samples.astype(td)
+    line = jnp.concatenate([state.delayline, samples], axis=-1)
+    delta = (samples - line[:M]).astype(fd)
+    new_delayline = line[M:]
+    if Mp != M:
+        delta = jnp.pad(delta, (0, Mp - M))
+    dt = delta.reshape(nt, K)
+
+    hi = jax.lax.Precision.HIGHEST
+    totals_re = jnp.dot(dt, fine_re, precision=hi, preferred_element_type=fd)
+    totals_im = jnp.dot(dt, fine_im, precision=hi, preferred_element_type=fd)
+
+    # row0_t[j] = T_j^(e0_t), e0_t = offset + t*K (mod 2m), exact int phases
+    e0 = jnp.mod(state.offset.astype(jnp.int32) + jnp.arange(nt, dtype=jnp.int32) * K, n2)
+    r = jnp.mod(e0[:, None] * jnp.arange(m, dtype=jnp.int32)[None, :], n2)
+    ang = (-np.pi / m) * r.astype(fd)
+    row0_re = jnp.cos(ang)
+    row0_im = jnp.sin(ang)
+
+    # rotate tile totals into the global frame; scan the carry across tiles
+    rt_re = row0_re * totals_re - row0_im * totals_im
+    rt_im = row0_re * totals_im + row0_im * totals_re
+    inc_re = jnp.cumsum(rt_re, axis=0)
+    inc_im = jnp.cumsum(rt_im, axis=0)
+    acc_re = state.accumulator[:, 0].astype(fd)[None, :]
+    acc_im = state.accumulator[:, 1].astype(fd)[None, :]
+    prefix_re = acc_re + jnp.concatenate([jnp.zeros_like(inc_re[:1]), inc_re[:-1]])
+    prefix_im = acc_im + jnp.concatenate([jnp.zeros_like(inc_im[:1]), inc_im[:-1]])
+    acc_out = jnp.stack([acc_re[0] + inc_re[-1], acc_im[0] + inc_im[-1]], axis=-1)
+
+    # per-tile carry in the demodulated frame: c0 = acc_tile * conj(row0)
+    c0_re = prefix_re * row0_re + prefix_im * row0_im
+    c0_im = prefix_im * row0_re - prefix_re * row0_im
+
+    y = (jnp.dot(dt, GLT, precision=hi, preferred_element_type=fd)
+         + jnp.dot(c0_re, P.T, precision=hi, preferred_element_type=fd)
+         + jnp.dot(c0_im, Q.T, precision=hi, preferred_element_type=fd))
+    y = y.reshape(Mp)[:M].astype(td)
+
+    new_state = State(
+        offset=jnp.mod(state.offset + M, n2).astype(state.offset.dtype),
+        delayline=new_delayline,
+        accumulator=acc_out.astype(state.accumulator.dtype),
+    )
+    return new_state, y

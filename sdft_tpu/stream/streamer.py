@@ -20,6 +20,7 @@ import jax
 import numpy as np
 
 from ..api import isdft as _isdft
+from ..api import roundtrip as _roundtrip
 from ..api import sdft as _sdft
 from ..plan import Plan
 from ..state import State, init_state, state_from_arrays, state_to_arrays
@@ -40,6 +41,9 @@ class Streamer:
         """
         self.plan = plan
         self.channels = channels
+        # With default ops and no spectral transform, round trips take the
+        # collapsed LTI fast path (sdft_tpu.ops.lti) — spectra never exist.
+        self._fused_roundtrip = forward is None and inverse is None
         self._forward = forward or (lambda st, x: _sdft(plan, st, x))
         self._inverse = inverse or (lambda d: _isdft(plan, d))
         self.state: State = init_state(plan, channels)
@@ -54,6 +58,12 @@ class Streamer:
     def synthesize(self, dfts) -> jax.Array:
         """Inverse-transform one block of spectra."""
         return self._inverse(dfts)
+
+    def roundtrip(self, block) -> jax.Array:
+        """Analyze + synthesize one block without materializing spectra."""
+        self.state, y = _roundtrip(self.plan, self.state, block)
+        self.samples_processed += np.shape(block)[-1]
+        return y
 
     def run(self, blocks: Iterable, transform: Callable | None = None,
             ) -> Iterator[np.ndarray]:
@@ -72,10 +82,13 @@ class Streamer:
             # Stage the next block onto the device; dispatch is async so this
             # overlaps with any in-flight compute.
             staged = jax.device_put(np.asarray(block))
-            dfts = self.process(staged)
-            if transform is not None:
-                dfts = transform(dfts)
-            y = self.synthesize(dfts)
+            if transform is None and self._fused_roundtrip:
+                y = self.roundtrip(staged)
+            else:
+                dfts = self.process(staged)
+                if transform is not None:
+                    dfts = transform(dfts)
+                y = self.synthesize(dfts)
             if pending is not None:
                 yield np.asarray(pending)  # sync the *previous* block only
             pending = y

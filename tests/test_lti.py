@@ -1,0 +1,130 @@
+"""Collapsed LTI round trip (sdft_tpu.ops.lti) vs the scan path.
+
+The LTI formulation must be algebraically identical to
+isdft_block(sdft_block(.)) — same output up to rounding, bit-compatible
+carry semantics — for every window, latency, precision, ROI, block length
+and batching (reference behavior: c/src/sdft/sdft.h:562-657 composed).
+"""
+
+import numpy as np
+import pytest
+
+from sdft_tpu import Plan, Precision, init_state, roundtrip
+from sdft_tpu.ops.analysis import sdft_block
+from sdft_tpu.ops.lti import roundtrip_block_lti
+from sdft_tpu.ops.synthesis import isdft_block
+
+F64 = Precision("float64", "float64")
+F32 = Precision("float32", "float32")
+
+
+def _signal(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.clip(rng.standard_normal(n), -3, 3) / 2
+
+
+def _scan_roundtrip(plan, state, x):
+    state, d = sdft_block(plan, state, x)
+    return state, np.asarray(isdft_block(plan, d))
+
+
+@pytest.mark.parametrize("window", ["boxcar", "hann", "hamming", "blackman"])
+@pytest.mark.parametrize("latency", [1.0, 0.5])
+def test_lti_matches_scan_path(window, latency):
+    m, M = 128, 512
+    plan = Plan(m, window=window, latency=latency, precision=F64)
+    x = _signal(3 * M)
+
+    s_ref = init_state(plan)
+    s_lti = init_state(plan)
+    for b in range(3):
+        blk = x[b * M:(b + 1) * M]
+        s_ref, y_ref = _scan_roundtrip(plan, s_ref, blk)
+        s_lti, y_lti = roundtrip_block_lti(plan, s_lti, blk)
+        np.testing.assert_allclose(np.asarray(y_lti), y_ref, atol=1e-12)
+    # carry state stays interchangeable between the two forms
+    np.testing.assert_allclose(np.asarray(s_lti.accumulator),
+                               np.asarray(s_ref.accumulator), atol=1e-11)
+    np.testing.assert_array_equal(np.asarray(s_lti.offset),
+                                  np.asarray(s_ref.offset))
+
+
+def test_lti_non_multiple_block_and_f32():
+    """Arbitrary block lengths are zero-padded internally without perturbing
+    the carry; f32 stays in the f32-rounding class of the scan path."""
+    m = 64
+    plan = Plan(m, precision=F32)
+    x = _signal(1000).astype(np.float32)
+
+    s_ref = init_state(plan)
+    s_lti = init_state(plan)
+    y_ref = []
+    y_lti = []
+    for lo, hi in [(0, 100), (100, 477), (477, 1000)]:  # ragged chunking
+        s_ref, y = _scan_roundtrip(plan, s_ref, x[lo:hi])
+        y_ref.append(y)
+        s_lti, y = roundtrip_block_lti(plan, s_lti, x[lo:hi])
+        y_lti.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(y_lti), np.concatenate(y_ref),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(s_lti.accumulator),
+                               np.asarray(s_ref.accumulator), atol=5e-5)
+
+
+def test_lti_roi_plan():
+    plan = Plan(128, window="hann", roi=(10, 100), precision=F64)
+    x = _signal(512)
+    s_ref, y_ref = _scan_roundtrip(plan, init_state(plan), x)
+    s_lti, y_lti = roundtrip_block_lti(plan, init_state(plan), x)
+    np.testing.assert_allclose(np.asarray(y_lti), y_ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_lti.accumulator),
+                               np.asarray(s_ref.accumulator), atol=1e-12)
+
+
+def test_lti_state_interchangeable_with_sdft():
+    """A stream can alternate between roundtrip() and sdft()/isdft() calls:
+    the carry means the same thing in both forms."""
+    m, M = 64, 256
+    plan = Plan(m, precision=F64)
+    x = _signal(3 * M)
+
+    s_ref = init_state(plan)
+    out_ref = []
+    for b in range(3):
+        s_ref, y = _scan_roundtrip(plan, s_ref, x[b * M:(b + 1) * M])
+        out_ref.append(y)
+
+    s = init_state(plan)
+    out = []
+    s, y = roundtrip_block_lti(plan, s, x[:M])          # LTI block
+    out.append(np.asarray(y))
+    s, y = _scan_roundtrip(plan, s, x[M:2 * M])          # scan block
+    out.append(y)
+    s, y = roundtrip_block_lti(plan, s, x[2 * M:])       # LTI again
+    out.append(np.asarray(y))
+
+    np.testing.assert_allclose(np.concatenate(out), np.concatenate(out_ref),
+                               atol=1e-12)
+
+
+def test_public_roundtrip_batched():
+    plan = Plan(64, precision=F64)
+    x = _signal(4 * 256).reshape(4, 256)
+    state = init_state(plan, channels=4)
+    state, y = roundtrip(plan, state, x)
+    assert np.asarray(y).shape == (4, 256)
+    for ch in range(4):
+        _, y_ref = _scan_roundtrip(plan, init_state(plan), x[ch])
+        np.testing.assert_allclose(np.asarray(y)[ch], y_ref, atol=1e-12)
+
+
+def test_streamer_uses_fused_roundtrip():
+    from sdft_tpu import Streamer, iter_blocks
+
+    plan = Plan(64, precision=F64)
+    x = _signal(1024)
+    s = Streamer(plan)
+    assert s._fused_roundtrip
+    got = np.concatenate(list(s.run(iter_blocks(x, 256))))
+    _, want = _scan_roundtrip(plan, init_state(plan), x)
+    np.testing.assert_allclose(got, want, atol=1e-12)
