@@ -31,11 +31,14 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import numpy as np
+
 from .. import cplx
 from ..plan import Plan
 from ..state import State
 from ..windows import WINDOW_HALO, Window
 from ..ops.convolve import window_convolve
+from ..ops.lti import K_TILE, _lti_constants
 from ..ops.twiddle import fiddle_rows, synthesis_twiddles
 
 # Sharding specs for the batched State pytree: accumulator shards over bins,
@@ -174,6 +177,106 @@ def _inverse_local(plan: Plan, dfts, *, bins_sharded: bool):
     return y.astype(plan.precision.td_dtype)
 
 
+def _roundtrip_local_lti(plan: Plan, state: State, samples, fine_re, fine_im,
+                         P, Q, *, m_total: int):
+    """Per-device collapsed-LTI round trip (see sdft_tpu.ops.lti).
+
+    The Hermitian guards and window convolution are folded into the P/Q
+    constants *before* bin slicing, so no bin-halo exchange is needed: the
+    only collectives are the comb-tail ppermute + carry all_gather over
+    'time' and one psum over 'bins' for the synthesis contraction.
+    """
+    m = plan.dftsize
+    n2 = 2 * m
+    td = plan.precision.td_dtype
+    fd = plan.precision.fd_dtype
+    K = K_TILE
+    C, L = samples.shape
+    mb = state.accumulator.shape[-2]
+
+    d = lax.axis_index("time")
+    ndev = lax.axis_size("time")
+    b0 = lax.axis_index("bins") * mb
+    bins = b0 + jnp.arange(mb, dtype=jnp.int32)
+
+    # local slices of the plan constants (bin columns)
+    fre = lax.dynamic_slice_in_dim(fine_re, b0, mb, axis=1)
+    fim = lax.dynamic_slice_in_dim(fine_im, b0, mb, axis=1)
+    Pb = lax.dynamic_slice_in_dim(P, b0, mb, axis=1)
+    Qb = lax.dynamic_slice_in_dim(Q, b0, mb, axis=1)
+    hi = lax.Precision.HIGHEST
+    # local causal G matrix: G_b[k,k'] = sum_{j in shard} P[k,j]*fine_re[k',j]
+    # + Q[k,j]*fine_im[k',j]; the psum over 'bins' below completes the sum.
+    kk = jnp.arange(K)
+    G = (jnp.dot(Pb, fre.T, precision=hi, preferred_element_type=fd)
+         + jnp.dot(Qb, fim.T, precision=hi, preferred_element_type=fd))
+    GLT = (G * (kk[None, :] <= kk[:, None])).T
+
+    samples = samples.astype(td)
+
+    # comb stage: history from the predecessor time shard (ppermute)
+    tail = samples[:, -n2:]
+    fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+    prev_tail = lax.ppermute(tail, "time", fwd)
+    hist_src = jnp.where(d == 0, state.delayline, prev_tail)
+    line = jnp.concatenate([hist_src, samples], axis=-1)
+    delta = (samples - line[:, :L]).astype(fd)
+
+    nt = -(-L // K)
+    Lp = nt * K
+    if Lp != L:
+        delta = jnp.pad(delta, ((0, 0), (0, Lp - L)))
+    dt = delta.reshape(C, nt, K)
+
+    totals_re = jnp.einsum("ctk,km->ctm", dt, fre, precision=hi,
+                           preferred_element_type=fd)
+    totals_im = jnp.einsum("ctk,km->ctm", dt, fim, precision=hi,
+                           preferred_element_type=fd)
+
+    # absolute tile-start exponents: per channel (offsets are per-stream)
+    e0 = jnp.mod(state.offset.astype(jnp.int32)[:, None] + d * L
+                 + jnp.arange(nt, dtype=jnp.int32)[None, :] * K, n2)
+    r = jnp.mod(e0[..., None] * bins[None, None, :], n2)
+    ang = (-np.pi / m) * r.astype(fd)
+    row0_re = jnp.cos(ang)
+    row0_im = jnp.sin(ang)
+
+    rt_re = row0_re * totals_re - row0_im * totals_im
+    rt_im = row0_re * totals_im + row0_im * totals_re
+    inc_re = jnp.cumsum(rt_re, axis=1)
+    inc_im = jnp.cumsum(rt_im, axis=1)
+
+    # two-level carry: exclusive prefix over devices, then over local tiles
+    local_total = jnp.stack([inc_re[:, -1], inc_im[:, -1]], axis=-1)  # (C,mb,2)
+    dev_prefix, grand = _exclusive_prefix(local_total, "time")
+    acc_re = state.accumulator[..., 0].astype(fd) + dev_prefix[..., 0]
+    acc_im = state.accumulator[..., 1].astype(fd) + dev_prefix[..., 1]
+    prefix_re = acc_re[:, None, :] + jnp.concatenate(
+        [jnp.zeros_like(inc_re[:, :1]), inc_re[:, :-1]], axis=1)
+    prefix_im = acc_im[:, None, :] + jnp.concatenate(
+        [jnp.zeros_like(inc_im[:, :1]), inc_im[:, :-1]], axis=1)
+
+    c0_re = prefix_re * row0_re + prefix_im * row0_im
+    c0_im = prefix_im * row0_re - prefix_re * row0_im
+
+    y = (jnp.einsum("ctk,kj->ctj", dt, GLT, precision=hi,
+                    preferred_element_type=fd)
+         + jnp.einsum("ctm,km->ctk", c0_re, Pb, precision=hi,
+                      preferred_element_type=fd)
+         + jnp.einsum("ctm,km->ctk", c0_im, Qb, precision=hi,
+                      preferred_element_type=fd))
+    y = lax.psum(y, "bins").reshape(C, Lp)[:, :L].astype(td)
+
+    tails = lax.all_gather(tail, "time")
+    new_state = State(
+        offset=jnp.mod(state.offset + m_total, n2).astype(state.offset.dtype),
+        delayline=tails[-1].astype(td),
+        accumulator=(state.accumulator.astype(fd) + grand
+                     ).astype(state.accumulator.dtype),
+    )
+    return new_state, y
+
+
 def _check_layout(plan: Plan, mesh: Mesh, C: int, M: int):
     if plan.roi is not None:
         # ROI is the single-device ancestor of bin sharding (SURVEY.md §2.4);
@@ -240,6 +343,22 @@ def _sharded_roundtrip_jit(plan: Plan, mesh: Mesh, state: State, samples):
     )(state, samples)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _sharded_roundtrip_lti_jit(plan: Plan, mesh: Mesh, state: State, samples):
+    """Collapsed-LTI round trip over the mesh (sdft_tpu.ops.lti sharded)."""
+    m_total = samples.shape[-1]
+    fd = plan.precision.fd_dtype
+    consts = tuple(jnp.asarray(a, fd) for a in _lti_constants(plan, K_TILE)[:4])
+    body = functools.partial(_roundtrip_local_lti, plan, m_total=m_total)
+    rep = P(None, None)  # plan constants replicate to every device
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(STATE_SPECS, SAMPLE_SPEC, rep, rep, rep, rep),
+        out_specs=(STATE_SPECS, SAMPLE_SPEC),
+        check_vma=False,
+    )(state, samples, *consts)
+
+
 def sharded_sdft(plan: Plan, mesh: Mesh, state: State, samples):
     """Forward analysis over the mesh.
 
@@ -267,9 +386,19 @@ def sharded_isdft(plan: Plan, mesh: Mesh, dfts):
     return _sharded_isdft_jit(plan, mesh, dfts)
 
 
-def sharded_roundtrip(plan: Plan, mesh: Mesh, state: State, samples):
-    """Fused analysis+synthesis step (the flagship full-step program)."""
+def sharded_roundtrip(plan: Plan, mesh: Mesh, state: State, samples,
+                      *, collapsed: bool = True):
+    """Fused analysis+synthesis step (the flagship full-step program).
+
+    With ``collapsed`` (default) the per-shard compute is the LTI form —
+    three MXU matmuls per device, no bin-halo exchange (guards and window
+    conv are folded into plan constants).  ``collapsed=False`` runs the
+    scan-form program (per-sample spectra inside each shard); both produce
+    the same samples and carry state up to rounding.
+    """
     samples = jnp.asarray(samples)
     C, M = samples.shape
     _check_layout(plan, mesh, C, M)
+    if collapsed:
+        return _sharded_roundtrip_lti_jit(plan, mesh, state, samples)
     return _sharded_roundtrip_jit(plan, mesh, state, samples)

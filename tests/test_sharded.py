@@ -121,3 +121,60 @@ def test_layout_validation():
     with pytest.raises(ValueError):
         sharded_sdft(plan, make_mesh(bins=3), init_state(plan, channels=1),
                      np.zeros((1, 128)))
+
+
+@pytest.mark.parametrize("axes", [(1, 1, 8), (1, 8, 1), (2, 2, 2), (1, 2, 4)])
+@pytest.mark.parametrize("window", ["hann", "blackman"])
+def test_sharded_roundtrip_lti_matches_unsharded(axes, window):
+    """The collapsed sharded round trip equals the single-device LTI result
+    for every mesh factorization (shard-count invariance, SURVEY.md §4c)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sdft_tpu.ops.lti import roundtrip_block_lti
+
+    m = 32
+    nc, nt, nb = axes
+    C = 2 * nc
+    M = max(2 * m * nt, 256)
+    x = _signal(C, M, seed=7)
+    plan = Plan(m, window=window, precision=F64)
+    mesh = make_mesh(channel=nc, time=nt, bins=nb)
+
+    want = np.stack([
+        np.asarray(roundtrip_block_lti(plan, init_state(plan), x[c])[1])
+        for c in range(C)])
+
+    state = init_state(plan, channels=C)
+    new_state, y = sharded_roundtrip(plan, mesh, state, x)
+    np.testing.assert_allclose(np.asarray(y), want, atol=1e-12)
+
+    # carry parity: accumulators must match the unsharded chain's
+    ref_states = [roundtrip_block_lti(plan, init_state(plan), x[c])[0]
+                  for c in range(C)]
+    acc_ref = np.stack([np.asarray(s.accumulator) for s in ref_states])
+    np.testing.assert_allclose(np.asarray(new_state.accumulator), acc_ref,
+                               atol=1e-12)
+
+
+def test_sharded_roundtrip_lti_streaming_carry():
+    """Chained sharded LTI blocks equal one long unsharded block."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sdft_tpu.ops.lti import roundtrip_block_lti
+
+    m = 32
+    C, M = 2, 2 * 2 * m
+    x = _signal(C, 3 * M, seed=8)
+    plan = Plan(m, precision=F64)
+    mesh = make_mesh(channel=2, time=2, bins=2)
+
+    want = np.stack([
+        np.asarray(roundtrip_block_lti(plan, init_state(plan), x[c])[1])
+        for c in range(C)])
+
+    state = init_state(plan, channels=C)
+    got = []
+    for b in range(3):
+        state, y = sharded_roundtrip(plan, mesh, state, x[:, b * M:(b + 1) * M])
+        got.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(got, axis=1), want, atol=1e-12)
