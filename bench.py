@@ -88,6 +88,38 @@ def bench_tpu():
         f"(chain {k_lo}: {t_lo * 1e3:.1f} ms, chain {k_hi}: {t_hi * 1e3:.1f} ms) "
         f"-> {rate:,.0f} samples/s")
 
+    # diagnostic: multi-channel endless streaming (BASELINE.json config 5) —
+    # batched LTI round trip, aggregate samples/s across C channels
+    C = 8
+    state_c = init_state(plan, channels=C)
+    xs_c = jax.device_put(rng.standard_normal((k_hi, C, BLOCK)).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def many_c(state, xs, k):
+        def body(st, x):
+            st, y = jax.vmap(lambda s, xx: roundtrip_block_lti(plan, s, xx))(st, x)
+            return st, jnp.sum(y * y)
+        st, ys = lax.scan(body, state, xs[:k])
+        return jnp.sum(ys)
+
+    def marginal_c(n=4):
+        def timed(k):
+            float(many_c(state_c, xs_c, k))
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.perf_counter()
+                float(many_c(state_c, xs_c, k))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        t_lo = timed(k_lo)
+        t_hi = timed(k_hi)
+        return (t_hi - t_lo) / (k_hi - k_lo)
+
+    per_c = marginal_c()
+    log(f"tpu roundtrip {C}-channel (LTI): {per_c * 1e3:.3f} ms/block "
+        f"-> {C * BLOCK / per_c:,.0f} aggregate samples/s "
+        f"({BLOCK / per_c:,.0f} per channel)")
+
     # diagnostic: forward analysis emitting all spectra (Pallas kernel)
     if use_pallas:
         def fwd(st, x):

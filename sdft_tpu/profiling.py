@@ -214,6 +214,7 @@ def bench_cli(argv) -> int:
     from .state import init_state
     from .kernels import pallas_supported, roundtrip_block_fused
     from .ops.analysis import sdft_block
+    from .ops.lti import roundtrip_block_lti
     from .ops.synthesis import isdft_block
 
     m = int(argv[0]) if len(argv) > 0 else 4096
@@ -225,7 +226,18 @@ def bench_cli(argv) -> int:
     xs = jnp.asarray(np.random.default_rng(0).standard_normal((12, block)),
                      plan.precision.td_dtype)
     use_pallas = pallas_supported()
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({jax.default_backend()}), "
+          f"pallas: {'on' if use_pallas else 'off'}")
 
+    # collapsed LTI round trip (the production no-transform path)
+    res = benchmark_marginal(lambda st, x: roundtrip_block_lti(plan, st, x),
+                             state, xs, repeats=runs)
+    print(f"roundtrip LTI    m={m} block={block}: "
+          f"{res['seconds'] * 1e3:.3f} ms/block marginal "
+          f"-> {block / res['seconds']:,.0f} samples/s")
+
+    # scan-form round trip with roofline accounting (per-sample spectra cost)
     def step(state, x):
         if use_pallas:
             return roundtrip_block_fused(plan, state, x)
@@ -234,10 +246,8 @@ def bench_cli(argv) -> int:
 
     cost = roundtrip_cost(plan, block)
     res = benchmark_marginal(step, state, xs, repeats=runs, cost=cost)
-    dev = jax.devices()[0]
-    print(f"device: {dev.device_kind} ({jax.default_backend()}), "
-          f"pallas: {'on' if use_pallas else 'off'}")
-    print(f"m={m} block={block}: {res['seconds'] * 1e3:.3f} ms/block marginal "
+    print(f"roundtrip scan   m={m} block={block}: "
+          f"{res['seconds'] * 1e3:.3f} ms/block marginal "
           f"-> {block / res['seconds']:,.0f} samples/s")
     print(f"achieved: {res['flops_per_s'] / 1e12:.3f} TFLOP/s (f32), "
           f"{res['hbm_gb_per_s']:.1f} GB/s HBM "
