@@ -27,7 +27,7 @@ import numpy as np
 from .cplx import from_complex
 from .kernels import forward_block_pallas, pallas_supported, plan_supported
 from .ops.analysis import sdft_block
-from .ops.lti import roundtrip_block_lti
+from .ops.lti import roundtrip_block_lti, sdft_hopped as _sdft_hopped_1d
 from .ops.synthesis import isdft_block
 from .plan import Plan
 from .state import State
@@ -107,6 +107,33 @@ def roundtrip(plan: Plan, state: State, samples) -> tuple[State, jax.Array]:
         return roundtrip_block_lti(plan, state, samples)
     if samples.ndim == 2:
         return _roundtrip_2d(plan, state, samples)
+    raise ValueError(f"samples must be (M,) or (C, M), got {samples.shape}")
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _sdft_hopped_2d(plan: Plan, state: State, samples: jax.Array, hop: int):
+    return jax.vmap(lambda st, x: _sdft_hopped_1d(plan, st, x, hop))(state, samples)
+
+
+def sdft_hopped(plan: Plan, state: State, samples, hop: int
+                ) -> tuple[State, jax.Array]:
+    """Forward analysis emitting one spectrum per ``hop`` samples.
+
+    The STFT-comparable usage pattern and the reference driver protocol
+    (test/test.c:69-83 keeps each hop's first DFT vector): ~hop-fold cheaper
+    than ``sdft`` + slicing because skipped spectra are never computed (see
+    sdft_tpu.ops.lti.sdft_hopped).  The carry advances over *all* samples, so
+    ``sdft_hopped`` and ``sdft``/``roundtrip`` interleave freely on a stream.
+
+    Returns:
+      (new_state, dfts) with dfts packed (ceil(M/hop), m, 2) or
+      (C, ceil(M/hop), m, 2).
+    """
+    samples = jnp.asarray(samples)
+    if samples.ndim == 1:
+        return _sdft_hopped_1d(plan, state, samples, hop)
+    if samples.ndim == 2:
+        return _sdft_hopped_2d(plan, state, samples, hop)
     raise ValueError(f"samples must be (M,) or (C, M), got {samples.shape}")
 
 

@@ -29,7 +29,7 @@ from .io.dump import dump_complex
 from .io.wav import read_wav, write_wav
 from .plan import Plan
 from .state import init_state
-from .api import isdft, sdft
+from .api import roundtrip, sdft_hopped
 
 
 def main(argv=None) -> int:
@@ -65,10 +65,15 @@ def main(argv=None) -> int:
     progress = 0
     t0 = time.perf_counter()
     for i in range(0, size, block):
-        state, dfts = sdft(plan, state, x[i:i + block])
-        ys.append(np.asarray(isdft(plan, dfts)))
-        # keep the DFT vector of each hop's first sample (test/test.c:82)
-        hop_dfts.append(to_complex(np.asarray(dfts)[::hopsize]))
+        blk = x[i:i + block]
+        # the DFT vector of each hop's first sample (test/test.c:82) comes
+        # from the hopped analysis — skipped spectra are never computed —
+        # and the synthesized samples from the collapsed round trip; both
+        # read the same in-state, and the round trip's out-state carries on.
+        _, hdfts = sdft_hopped(plan, state, blk, hopsize)
+        state, y = roundtrip(plan, state, blk)
+        ys.append(np.asarray(y))
+        hop_dfts.append(to_complex(np.asarray(hdfts)))
         percent = min(i + block, size) / size
         if int(percent * 10) != progress:
             progress = int(percent * 10)

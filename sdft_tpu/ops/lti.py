@@ -41,11 +41,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..cplx import pack
 from ..plan import Plan
 from ..state import State
 from ..windows import WINDOW_HALO, WINDOW_TAPS
 
 K_TILE = 128
+
+
+@functools.lru_cache(maxsize=None)
+def _fine_host(plan: Plan, K: int):
+    """fine[k,j] = T_j^k for k in [0,K), exact integer phases (numpy f64)."""
+    m = plan.dftsize
+    ang = (-np.pi / m) * ((np.arange(K)[:, None] * np.arange(m)[None, :])
+                          % (2 * m))
+    return np.cos(ang), np.sin(ang)
 
 
 @functools.lru_cache(maxsize=None)
@@ -198,3 +208,90 @@ def roundtrip_block_lti(plan: Plan, state: State, samples: jnp.ndarray):
         accumulator=acc_out.astype(state.accumulator.dtype),
     )
     return new_state, y
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def sdft_hopped(plan: Plan, state: State, samples: jnp.ndarray, hop: int):
+    """Forward analysis emitting one spectrum per hop (at samples 0, hop,
+    2*hop, ... of the block) — the reference driver protocol, which keeps
+    each hop's first DFT vector only (test/test.c:69-83,82; test/test.py:48).
+
+    Uses the same prefix machinery as the collapsed round trip: with tiles of
+    length ``hop``, the selected spectrum is just the demodulated+windowed
+    tile-start accumulator, so the per-sample scan disappears — one
+    (nt,hop)@(hop,m) MXU matmul + O(nt*m) elementwise work, a ~hop-fold
+    saving over materializing every spectrum.
+
+    Args:
+      plan: static plan.
+      state: carry (offset (), delayline (2m,), accumulator (m, 2)).
+      samples: (M,) real samples (the last partial hop, if any, still
+        advances the carry; its spectrum is emitted if it has a first sample).
+      hop: hop size in samples (static).
+
+    Returns:
+      (new_state, dfts) with dfts packed (ceil(M/hop), m, 2) — identical (up
+      to rounding) to ``sdft_block(...)[1][::hop]``.
+    """
+    m = plan.dftsize
+    n2 = 2 * m
+    td = plan.precision.td_dtype
+    fd = plan.precision.fd_dtype
+    cd = plan.precision.fdx_dtype
+    (M,) = samples.shape
+    nt = -(-M // hop)
+    Mp = nt * hop
+
+    fine_re, fine_im = (jnp.asarray(a, fd) for a in _fine_host(plan, hop))
+    if plan.roi is not None:
+        first, last = plan.roi
+        roi_mask = ((np.arange(m) >= first) & (np.arange(m) < last))
+        fine_re = fine_re * jnp.asarray(roi_mask, fd)
+        fine_im = fine_im * jnp.asarray(roi_mask, fd)
+
+    samples = samples.astype(td)
+    line = jnp.concatenate([state.delayline, samples], axis=-1)
+    delta = (samples - line[:M]).astype(fd)
+    new_delayline = line[M:]
+    if Mp != M:
+        delta = jnp.pad(delta, (0, Mp - M))
+    dt = delta.reshape(nt, hop)
+
+    hi = jax.lax.Precision.HIGHEST
+    totals_re = jnp.dot(dt, fine_re, precision=hi, preferred_element_type=fd)
+    totals_im = jnp.dot(dt, fine_im, precision=hi, preferred_element_type=fd)
+
+    e0 = jnp.mod(state.offset.astype(jnp.int32)
+                 + jnp.arange(nt, dtype=jnp.int32) * hop, n2)
+    r = jnp.mod(e0[:, None] * jnp.arange(m, dtype=jnp.int32)[None, :], n2)
+    ang = (-np.pi / m) * r.astype(fd)
+    row0 = jnp.cos(ang) + 1j * jnp.sin(ang)
+    totals = (totals_re + 1j * totals_im).astype(cd)
+
+    rt = row0 * totals
+    inc = jnp.cumsum(rt, axis=0)
+    acc_in = (state.accumulator[:, 0] + 1j * state.accumulator[:, 1]
+              ).astype(cd)[None, :]
+    prefix = acc_in + jnp.concatenate([jnp.zeros_like(inc[:1]), inc[:-1]])
+    acc_out = pack((acc_in[0] + inc[-1]).astype(cd))
+
+    # accumulator right after each tile's first sample, then demodulate by
+    # conj(T^(e0+1)) = conj(row0) * conj(T_j)  (c/src/sdft/sdft.h:585)
+    d0 = dt[:, 0].astype(cd)[:, None]
+    acc_sel = prefix + d0 * (row0 if plan.roi is None
+                             else row0 * jnp.asarray(roi_mask, fd))
+    conj_base = jnp.exp(1j * (np.pi / m)
+                        * jnp.arange(m, dtype=jnp.int32).astype(fd)).astype(cd)
+    aux = acc_sel * jnp.conj(row0) * conj_base
+
+    from .convolve import window_convolve
+    out = window_convolve(plan, aux)
+    if plan.roi is not None:
+        out = out * jnp.asarray(roi_mask, out.dtype)
+
+    new_state = State(
+        offset=jnp.mod(state.offset + M, n2).astype(state.offset.dtype),
+        delayline=new_delayline,
+        accumulator=acc_out.astype(state.accumulator.dtype),
+    )
+    return new_state, pack(out)

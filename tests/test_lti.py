@@ -128,3 +128,37 @@ def test_streamer_uses_fused_roundtrip():
     got = np.concatenate(list(s.run(iter_blocks(x, 256))))
     _, want = _scan_roundtrip(plan, init_state(plan), x)
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_sdft_hopped_matches_sliced_full():
+    """Hopped analysis equals slicing the full spectra at hop starts,
+    chained across blocks (the reference driver protocol, test/test.c:82)."""
+    from sdft_tpu import sdft, sdft_hopped
+
+    m, M, hop = 128, 512, 100
+    plan = Plan(m, window="hamming", precision=F64)
+    x = _signal(3 * M, seed=11)
+
+    s_full = init_state(plan)
+    s_hop = init_state(plan)
+    for b in range(3):
+        blk = x[b * M:(b + 1) * M]
+        s_full, d_full = sdft(plan, s_full, blk)
+        s_hop, d_hop = sdft_hopped(plan, s_hop, blk, hop)
+        np.testing.assert_allclose(np.asarray(d_hop),
+                                   np.asarray(d_full)[::hop], atol=1e-14)
+    np.testing.assert_allclose(np.asarray(s_hop.accumulator),
+                               np.asarray(s_full.accumulator), atol=1e-12)
+
+
+def test_sdft_hopped_batched():
+    from sdft_tpu import sdft, sdft_hopped
+
+    plan = Plan(64, precision=F64)
+    x = _signal(3 * 256, seed=12).reshape(3, 256)
+    state = init_state(plan, channels=3)
+    state, d = sdft_hopped(plan, state, x, 32)
+    assert np.asarray(d).shape == (3, 8, 64, 2)
+    _, d_full = sdft(plan, init_state(plan, channels=3), x)
+    np.testing.assert_allclose(np.asarray(d),
+                               np.asarray(d_full)[:, ::32], atol=1e-14)
