@@ -120,13 +120,15 @@ def bench_tpu():
         f"-> {C * BLOCK / per_c:,.0f} aggregate samples/s "
         f"({BLOCK / per_c:,.0f} per channel)")
 
-    # diagnostic: forward analysis emitting all spectra (Pallas kernel)
+    # diagnostic: forward analysis emitting all spectra (Pallas kernel,
+    # planar layout — the kernel's native output; both planes consumed so
+    # the full (M, m) spectra hit HBM)
     if use_pallas:
         def fwd(st, x):
-            st, d = forward_block_pallas(plan, st, x)
-            return st, d[..., 0, 0]
+            st, (re, im) = forward_block_pallas(plan, st, x, layout="planar")
+            return st, jnp.sum(re[:, 0] * re[:, 0]) + jnp.sum(im[:, 0] * im[:, 0])
         per_f, _, _ = marginal(chain(fwd), n=3)
-        log(f"tpu forward+spectra (pallas): {per_f * 1e3:.3f} ms/block "
+        log(f"tpu forward+spectra (pallas, planar): {per_f * 1e3:.3f} ms/block "
             f"-> {BLOCK / per_f:,.0f} samples/s")
     return rate
 

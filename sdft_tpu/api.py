@@ -33,19 +33,22 @@ from .plan import Plan
 from .state import State
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _sdft_1d(plan: Plan, state: State, samples: jax.Array):
-    return sdft_block(plan, state, samples)
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _sdft_1d(plan: Plan, state: State, samples: jax.Array, layout: str):
+    st, d = sdft_block(plan, state, samples)
+    return (st, (d[..., 0], d[..., 1])) if layout == "planar" else (st, d)
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _sdft_2d(plan: Plan, state: State, samples: jax.Array):
-    return jax.vmap(lambda st, x: sdft_block(plan, st, x))(state, samples)
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _sdft_2d(plan: Plan, state: State, samples: jax.Array, layout: str):
+    return jax.vmap(lambda st, x: _sdft_1d(plan, st, x, layout))(state, samples)
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _sdft_2d_pallas(plan: Plan, state: State, samples: jax.Array):
-    return jax.vmap(lambda st, x: forward_block_pallas(plan, st, x))(state, samples)
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _sdft_2d_pallas(plan: Plan, state: State, samples: jax.Array, layout: str):
+    return jax.vmap(
+        lambda st, x: forward_block_pallas(plan, st, x, layout=layout)
+    )(state, samples)
 
 
 def _use_pallas(plan: Plan, M: int) -> bool:
@@ -57,26 +60,35 @@ def _isdft(plan: Plan, dfts: jax.Array):
     return isdft_block(plan, dfts)
 
 
-def sdft(plan: Plan, state: State, samples) -> tuple[State, jax.Array]:
+def sdft(plan: Plan, state: State, samples, layout: str = "packed"
+         ) -> tuple[State, jax.Array]:
     """Forward analysis: estimate one spectrum per input sample.
 
     Args:
       plan: static plan.
       state: carry from ``init_state`` (batched iff samples are batched).
       samples: (M,) or (C, M) real samples.
+      layout: "packed" (default) returns dfts with a trailing re/im axis of
+        size 2; "planar" returns a (re, im) pair of real arrays — the TPU
+        kernel's native output, saving one full read+write of the spectra
+        (at m=4096 the spectra are ~32 kB per input sample, so that pass is
+        the dominant cost).  Use planar for magnitude/spectrogram pipelines.
 
     Returns:
-      (new_state, dfts) with dfts packed (M, m, 2) or (C, M, m, 2).
+      (new_state, dfts) with dfts packed (M, m, 2) / (C, M, m, 2), or the
+      planar pair of (M, m) / (C, M, m) arrays.
     """
+    if layout not in ("packed", "planar"):
+        raise ValueError(f"layout must be 'packed' or 'planar', got {layout!r}")
     samples = jnp.asarray(samples)
     if samples.ndim == 1:
         if _use_pallas(plan, samples.shape[-1]):
-            return forward_block_pallas(plan, state, samples)
-        return _sdft_1d(plan, state, samples)
+            return forward_block_pallas(plan, state, samples, layout=layout)
+        return _sdft_1d(plan, state, samples, layout)
     if samples.ndim == 2:
         if _use_pallas(plan, samples.shape[-1]):
-            return _sdft_2d_pallas(plan, state, samples)
-        return _sdft_2d(plan, state, samples)
+            return _sdft_2d_pallas(plan, state, samples, layout)
+        return _sdft_2d(plan, state, samples, layout)
     raise ValueError(f"samples must be (M,) or (C, M), got {samples.shape}")
 
 

@@ -36,6 +36,11 @@ def to_complex(p) -> np.ndarray:
     return p[..., 0] + 1j * p[..., 1]
 
 
+def planar_to_complex(re, im) -> np.ndarray:
+    """Host-side: planar (re, im) pair (device or numpy) -> numpy complex."""
+    return np.asarray(re) + 1j * np.asarray(im)
+
+
 def from_complex(z, dtype=None) -> np.ndarray:
     """Host-side: complex numpy array -> packed numpy array."""
     z = np.asarray(z)

@@ -71,23 +71,37 @@ def plan_supported(plan: Plan, M: int) -> bool:
     )
 
 
-def _cumsum_rows(v, K, mode="vpu"):
+def _cumsum_rows(v, K, mode="mxu2"):
     """Inclusive prefix sum along axis 0.
 
-    "vpu": log-step shifted adds.  "mxu_f32"/"mxu_3pass": multiply by a
-    lower-triangular ones matrix on the systolic array; the default bf16
-    matmul pass loses ~1e-2 accuracy so only the f32 (HIGHEST) and bf16x3
-    (HIGH) variants are offered.  Measured on v5e, "vpu" wins end-to-end
-    with the algebraically-reduced kernel.
+    "mxu2"/"mxu3" (default "mxu2"): multiply by the lower-triangular ONES
+    matrix on the systolic array, splitting the f32 operand into 2 (or 3)
+    bf16 components.  Because L's entries are exactly 0/1 and the MXU
+    accumulates in f32, each component's products are exact — the split sum
+    reproduces the f32 value to ~17 ("mxu2") / 24+ ("mxu3") mantissa bits.
+    This moves the whole prefix sum off the VPU (the kernel's bottleneck
+    unit), ~1.4x end-to-end on v5e vs "vpu".
+
+    "vpu": log-step shifted adds, the exact-f32 fallback.  "mxu_f32": the
+    one-pass f32 HIGHEST matmul (slower than the splits).
     """
-    if mode.startswith("mxu"):
+    if mode in ("mxu2", "mxu3"):
+        r = lax.broadcasted_iota(jnp.int32, (K, K), 0)
+        c = lax.broadcasted_iota(jnp.int32, (K, K), 1)
+        L = (c <= r).astype(jnp.bfloat16)
+        out = jnp.zeros_like(v)
+        rem = v
+        for _ in range(int(mode[-1])):
+            part = rem.astype(jnp.bfloat16)
+            out = out + jnp.dot(L, part, preferred_element_type=jnp.float32)
+            rem = rem - part.astype(jnp.float32)
+        return out
+    if mode == "mxu_f32":
         r = lax.broadcasted_iota(jnp.int32, (K, K), 0)
         c = lax.broadcasted_iota(jnp.int32, (K, K), 1)
         L = (c <= r).astype(jnp.float32)
-        prec = (lax.Precision.HIGHEST if mode == "mxu_f32"
-                else lax.Precision.HIGH)
         return jnp.dot(L, v, preferred_element_type=jnp.float32,
-                       precision=prec)
+                       precision=lax.Precision.HIGHEST)
     s = 1
     while s < K:
         v = v + jnp.pad(v, ((s, 0), (0, 0)))[:K]
@@ -97,7 +111,7 @@ def _cumsum_rows(v, K, mode="vpu"):
 
 def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
             *refs, plan: Plan, emit_dfts: bool, emit_y: bool,
-            cumsum_mode: str = "vpu", tile_k: int = TILE_K):
+            cumsum_mode: str = "mxu2", tile_k: int = TILE_K):
     """Fused per-tile body.
 
     Algebraic form (see module docstring for the phase split): with
@@ -242,10 +256,10 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
             np.float32(plan.synthesis_weight) * y)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
 def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
-            interpret: bool = False, cumsum_mode: str = "vpu",
-            tile_k: int = TILE_K):
+            interpret: bool = False, cumsum_mode: str = "mxu2",
+            tile_k: int = TILE_K, layout: str = "packed"):
     m = plan.dftsize
     n2 = 2 * m
     W = m + 2 * PAD
@@ -325,7 +339,13 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
     dfts = y = None
     if emit_dfts:
         dft_re, dft_im = outs[0], outs[1]
-        dfts = jnp.stack([dft_re, dft_im], axis=-1)
+        # "planar" hands back the kernel's native (re, im) pair with zero
+        # extra HBM traffic; "packed" interleaves to the (M, m, 2) boundary
+        # layout, which costs one more full read+write of the spectra.
+        if layout == "planar":
+            dfts = (dft_re, dft_im)
+        else:
+            dfts = jnp.stack([dft_re, dft_im], axis=-1)
         outs = outs[2:]
     if emit_y:
         y = outs[0].reshape(M).astype(plan.precision.td_dtype)
@@ -341,15 +361,21 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
 
 
 def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
-                         cumsum_mode="vpu", tile_k=TILE_K):
-    """Fused forward analysis; returns (state, dfts packed (M, m, 2))."""
+                         cumsum_mode="mxu2", tile_k=TILE_K, layout="packed"):
+    """Fused forward analysis.
+
+    Returns (state, dfts) with dfts packed (M, m, 2), or — with
+    ``layout="planar"`` — a (re, im) pair of (M, m) arrays, the kernel's
+    native output with no interleaving pass (the fast path for
+    magnitude/spectrogram consumers that read the planes independently).
+    """
     new_state, dfts, _ = _launch(plan, state, samples, True, False, interpret,
-                                 cumsum_mode, tile_k)
+                                 cumsum_mode, tile_k, layout)
     return new_state, dfts
 
 
 def roundtrip_block_fused(plan: Plan, state: State, samples, interpret=False,
-                          cumsum_mode="vpu", tile_k=TILE_K):
+                          cumsum_mode="mxu2", tile_k=TILE_K):
     """Fused analysis + synthesis; spectra never touch HBM.
     Returns (state, samples_out (M,))."""
     new_state, _, y = _launch(plan, state, samples, False, True, interpret,
@@ -358,7 +384,7 @@ def roundtrip_block_fused(plan: Plan, state: State, samples, interpret=False,
 
 
 def forward_and_y_pallas(plan: Plan, state: State, samples, interpret=False,
-                        cumsum_mode="vpu", tile_k=TILE_K):
+                        cumsum_mode="mxu2", tile_k=TILE_K, layout="packed"):
     """Fused analysis emitting both spectra and synthesized samples."""
     return _launch(plan, state, samples, True, True, interpret, cumsum_mode,
-                   tile_k)
+                   tile_k, layout)

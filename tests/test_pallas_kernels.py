@@ -78,6 +78,43 @@ def test_kernel_streaming_carry():
     np.testing.assert_allclose(got, want, atol=5e-6, rtol=1e-4)
 
 
+def test_planar_layout_matches_packed():
+    """layout="planar" is the same spectra without the interleaving pass —
+    on both the Pallas kernel and the XLA fallback (api.sdft)."""
+    m = 256
+    M = 2 * 128
+    x = _signal(M, seed=3)
+    plan = Plan(m, precision=F32)
+
+    state = init_state(plan)
+    st_p, packed = forward_block_pallas(plan, state, x, interpret=True)
+    st_q, (re, im) = forward_block_pallas(plan, state, x, interpret=True,
+                                          layout="planar")
+    packed = np.asarray(packed)
+    np.testing.assert_array_equal(np.asarray(re), packed[..., 0])
+    np.testing.assert_array_equal(np.asarray(im), packed[..., 1])
+    np.testing.assert_array_equal(np.asarray(st_q.accumulator),
+                                  np.asarray(st_p.accumulator))
+
+    # XLA fallback path through the public API (CPU backend -> no pallas)
+    _, packed_api = sdft(plan, state, x)
+    _, (re2, im2) = sdft(plan, state, x, layout="planar")
+    np.testing.assert_array_equal(np.asarray(re2),
+                                  np.asarray(packed_api)[..., 0])
+    np.testing.assert_array_equal(np.asarray(im2),
+                                  np.asarray(packed_api)[..., 1])
+
+    # batched planar
+    xs = np.stack([x, _signal(M, seed=4)])
+    states = init_state(plan, channels=2)
+    _, packed_b = sdft(plan, states, xs)
+    _, (re3, im3) = sdft(plan, states, xs, layout="planar")
+    np.testing.assert_array_equal(np.asarray(re3),
+                                  np.asarray(packed_b)[..., 0])
+    np.testing.assert_array_equal(np.asarray(im3),
+                                  np.asarray(packed_b)[..., 1])
+
+
 def test_plan_supported_gates():
     assert not plan_supported(Plan(100, precision=F32), 64)     # m % 128
     assert not plan_supported(Plan(256), 64)                    # f64 fd
