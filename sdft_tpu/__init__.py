@@ -8,7 +8,7 @@ Blackman frequency-domain windowing, configurable TD/FD precision, endless
 bounded-memory streaming, and multi-chip sharding over bins/time/channels.
 """
 
-from .api import isdft, roundtrip, sdft, sdft_hopped
+from .api import isdft, refresh, roundtrip, sdft, sdft_hopped
 from .compat import SDFT, STFT
 from .config import DEFAULT_PRECISION, FAST_PRECISION, Precision
 from .cplx import from_complex, to_complex
@@ -34,6 +34,7 @@ __all__ = [
     "sdft",
     "sdft_hopped",
     "isdft",
+    "refresh",
     "roundtrip",
     "to_complex",
     "from_complex",

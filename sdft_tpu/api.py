@@ -26,7 +26,7 @@ import numpy as np
 
 from .cplx import from_complex
 from .kernels import forward_block_pallas, pallas_supported, plan_supported
-from .ops.analysis import sdft_block
+from .ops.analysis import refresh_state, sdft_block
 from .ops.lti import roundtrip_block_lti, sdft_hopped as _sdft_hopped_1d
 from .ops.synthesis import isdft_block
 from .plan import Plan
@@ -147,6 +147,30 @@ def sdft_hopped(plan: Plan, state: State, samples, hop: int
     if samples.ndim == 2:
         return _sdft_hopped_2d(plan, state, samples, hop)
     raise ValueError(f"samples must be (M,) or (C, M), got {samples.shape}")
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _refresh_1d(plan: Plan, state: State):
+    return refresh_state(plan, state)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _refresh_2d(plan: Plan, state: State):
+    return jax.vmap(lambda st: refresh_state(plan, st))(state)
+
+
+def refresh(plan: Plan, state: State) -> State:
+    """Exactly rebuild the accumulator from the delayline (drift reset).
+
+    The comb stage telescopes, so the accumulator is — in exact arithmetic —
+    a pure function of (offset, delayline); recomputing it discards the f32
+    rounding error the running sum accumulates over endless streams.  One
+    MXU matvec; see ops.analysis.refresh_state.  Run every `refresh_every`
+    blocks via Streamer, or call directly at any block boundary.
+    """
+    if state.offset.ndim == 0:
+        return _refresh_1d(plan, state)
+    return _refresh_2d(plan, state)
 
 
 def isdft(plan: Plan, dfts) -> jax.Array:

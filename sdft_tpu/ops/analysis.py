@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..cplx import pack, unpack
 from ..plan import Plan
@@ -92,3 +93,44 @@ def sdft_block(plan: Plan, state: State, samples: jnp.ndarray):
         accumulator=new_accumulator,
     )
     return new_state, dfts
+
+
+def refresh_state(plan: Plan, state: State) -> State:
+    """Exactly rebuild the accumulator from the delayline, discarding every
+    rounding error the running sum has ever absorbed.
+
+    Telescoping the comb stage (delta[s] = x[s] - x[s-2m]) against the
+    2m-periodic phasors gives, in exact arithmetic,
+
+        acc(t)[i] = sum_{s=t-2m}^{t-1} x[s] * T_i^(s mod 2m)
+                  = sum_j delayline[j] * T_i^((offset + j) mod 2m)
+
+    i.e. the accumulator is a pure function of the carry's other two fields.
+    In floating point the running sum instead random-walks: contributions
+    older than the window cancel only to roundoff, so after B blocks the
+    accumulator carries O(sqrt(B) * eps) of dead error.  Recomputing it with
+    exact integer-exponent phasors (sdft_tpu.ops.twiddle) resets that error
+    to a single windowed-sum rounding — the TPU-native generalization of the
+    reference's periodic phase reset (c/src/sdft/sdft.h:566-576) from the
+    phasor to the accumulator itself, making f32 endless streams drift-free
+    (SURVEY.md §7 hard part (b)).
+
+    Cost: one (2m,) x (2m, m) MXU matvec — run every `refresh_every` blocks
+    (see stream.Streamer); the refreshed state is a drop-in continuation.
+    """
+    m = plan.dftsize
+    P, _ = fiddle_block(plan, state.offset.astype(jnp.int32), 2 * m)
+    d = state.delayline.astype(plan.precision.fd_dtype)
+    # real input x complex phasors = two real MXU matvecs
+    acc_re = jnp.matmul(d, jnp.real(P), precision=lax.Precision.HIGHEST)
+    acc_im = jnp.matmul(d, jnp.imag(P), precision=lax.Precision.HIGHEST)
+    acc = jnp.stack([acc_re, acc_im], axis=-1)
+    if plan.roi is not None:
+        first, last = plan.roi
+        mask = (np.arange(m) >= first) & (np.arange(m) < last)
+        acc = acc * jnp.asarray(mask, acc.dtype)[:, None]
+    return State(
+        offset=state.offset,
+        delayline=state.delayline,
+        accumulator=acc.astype(state.accumulator.dtype),
+    )

@@ -20,6 +20,7 @@ import jax
 import numpy as np
 
 from ..api import isdft as _isdft
+from ..api import refresh as _refresh
 from ..api import roundtrip as _roundtrip
 from ..api import sdft as _sdft
 from ..plan import Plan
@@ -31,16 +32,23 @@ class Streamer:
 
     def __init__(self, plan: Plan, channels: int | None = None,
                  forward: Callable | None = None,
-                 inverse: Callable | None = None):
+                 inverse: Callable | None = None,
+                 refresh_every: int | None = None):
         """Args:
           plan: static SDFT plan.
           channels: None for a mono (M,) stream, else channel count C.
           forward/inverse: optional overrides for the block ops (e.g. the
             sharded or Pallas variants with plan/mesh already bound);
             default to the single-device jitted ops.
+          refresh_every: if set, exactly rebuild the accumulator from the
+            delayline every N blocks (api.refresh) — one MXU matvec that
+            resets the f32 rounding drift of endless streams to zero
+            (SURVEY.md §7 hard part (b)).  None disables.
         """
         self.plan = plan
         self.channels = channels
+        self.refresh_every = refresh_every
+        self._blocks_since_refresh = 0
         # With default ops and no spectral transform, round trips take the
         # collapsed LTI fast path (sdft_tpu.ops.lti) — spectra never exist.
         self._fused_roundtrip = forward is None and inverse is None
@@ -49,10 +57,19 @@ class Streamer:
         self.state: State = init_state(plan, channels)
         self.samples_processed = 0
 
+    def _maybe_refresh(self) -> None:
+        if self.refresh_every is None:
+            return
+        self._blocks_since_refresh += 1
+        if self._blocks_since_refresh >= self.refresh_every:
+            self.state = _refresh(self.plan, self.state)
+            self._blocks_since_refresh = 0
+
     def process(self, block) -> jax.Array:
         """Analyze one block; returns its DFT matrix (device array)."""
         self.state, dfts = self._forward(self.state, block)
         self.samples_processed += np.shape(block)[-1]
+        self._maybe_refresh()
         return dfts
 
     def synthesize(self, dfts) -> jax.Array:
@@ -63,6 +80,7 @@ class Streamer:
         """Analyze + synthesize one block without materializing spectra."""
         self.state, y = _roundtrip(self.plan, self.state, block)
         self.samples_processed += np.shape(block)[-1]
+        self._maybe_refresh()
         return y
 
     def run(self, blocks: Iterable, transform: Callable | None = None,
@@ -111,6 +129,7 @@ class Streamer:
     def reset(self) -> None:
         self.state = init_state(self.plan, self.channels)
         self.samples_processed = 0
+        self._blocks_since_refresh = 0
 
 
 def iter_blocks(samples: np.ndarray, block: int, pad: bool = False
