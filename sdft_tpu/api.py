@@ -164,8 +164,8 @@ def refresh(plan: Plan, state: State) -> State:
 
     The comb stage telescopes, so the accumulator is — in exact arithmetic —
     a pure function of (offset, delayline); recomputing it discards the f32
-    rounding error the running sum accumulates over endless streams.  One
-    MXU matvec; see ops.analysis.refresh_state.  Run every `refresh_every`
+    rounding error the running sum accumulates over endless streams.  Two
+    real MXU matvecs (re/im); see ops.analysis.refresh_state.  Run every `refresh_every`
     blocks via Streamer, or call directly at any block boundary.
     """
     if state.offset.ndim == 0:

@@ -22,11 +22,11 @@ def _symmetric_window(window: str, n: int) -> np.ndarray:
     """Periodic cosine-sum windows (python/src/sdft/stft.py:149-167)."""
     w = str(window).lower()
     t = 2 * np.pi * np.arange(n) / n
-    if w in "hann":
+    if w == "hann":
         return 0.5 - 0.5 * np.cos(t)
-    if w in "hamming":
+    if w == "hamming":
         return 0.54 - 0.46 * np.cos(t)
-    if w in "blackman":
+    if w == "blackman":
         return 0.42 - 0.5 * np.cos(t) + 0.08 * np.cos(2 * t)
     return np.ones(n)
 

@@ -125,6 +125,9 @@ class Streamer:
             self.samples_processed = int(data["samples_processed"])
             self.state = state_from_arrays({k: data[k] for k in
                                             ("offset", "delayline", "accumulator")})
+        # refresh cadence restarts at the checkpoint boundary, not wherever the
+        # pre-restore counter happened to be
+        self._blocks_since_refresh = 0
 
     def reset(self) -> None:
         self.state = init_state(self.plan, self.channels)

@@ -18,6 +18,19 @@ def _signal(n, seed=0):
     return rng.standard_normal(n).clip(-1, 1).astype(np.float32)
 
 
+def _accumulator_f64(m, x):
+    """f64 oracle for the carried accumulator after one block from rest:
+    acc[i] = sum_k delta[k] * T_i^((k) mod 2m) with delta = x - x[k-2m]."""
+    n2 = 2 * m
+    x = np.asarray(x, np.float64)
+    delta = x - np.pad(x, (n2, 0))[: x.size]
+    k = np.arange(x.size)
+    i = np.arange(m)
+    ph = np.exp(-1j * (np.pi / m) * ((k[:, None] * i[None, :]) % n2))
+    acc = (delta[:, None] * ph).sum(axis=0)
+    return np.stack([acc.real, acc.imag], axis=-1)
+
+
 @pytest.mark.parametrize("window", ["boxcar", "hann", "hamming", "blackman"])
 def test_forward_kernel_matches_xla(window):
     m = 256
@@ -34,11 +47,15 @@ def test_forward_kernel_matches_xla(window):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-6, rtol=1e-4)
     # The carried accumulator is an f32 sum over the whole block; Pallas's
-    # intra-block scan and XLA's cumsum reduce in different orders, so allow
-    # plain f32 roundoff headroom here (outputs above are checked tighter).
-    np.testing.assert_allclose(np.asarray(got_state.accumulator),
-                               np.asarray(want_state.accumulator),
-                               atol=2e-4, rtol=1e-3)
+    # intra-block scan and XLA's cumsum reduce in different orders, so gate
+    # each backend against the f64 oracle with an eps-proportional bound
+    # (k * eps32 * M covers any summation order of M unit-bounded terms)
+    # instead of widening the pairwise tolerance.
+    acc64 = _accumulator_f64(m, x)
+    bound = 4 * np.finfo(np.float32).eps * M
+    for acc in (got_state.accumulator, want_state.accumulator):
+        err = np.abs(np.asarray(acc, np.float64) - acc64).max()
+        assert err < bound, (err, bound)
     assert int(got_state.offset) == int(want_state.offset)
     np.testing.assert_array_equal(np.asarray(got_state.delayline),
                                   np.asarray(want_state.delayline))
