@@ -97,7 +97,7 @@ def bench_tpu():
     @functools.partial(jax.jit, static_argnums=2)
     def many_c(state, xs, k):
         def body(st, x):
-            st, y = jax.vmap(lambda s, xx: roundtrip_block_lti(plan, s, xx))(st, x)
+            st, y = roundtrip_block_lti(plan, st, x)  # batched: one GEMM
             return st, jnp.sum(y * y)
         st, ys = lax.scan(body, state, xs[:k])
         return jnp.sum(ys)

@@ -12,6 +12,15 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+import os
+
+import jax
+
+# honor JAX_PLATFORMS even under the hosted TPU plugin, which overrides the
+# env var at import time (config wins while no backend is initialized)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 from sdft_tpu import Plan, init_state, isdft, sdft

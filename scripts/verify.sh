@@ -24,6 +24,27 @@ python -m pytest tests/ -x -q
 echo "== cross-implementation check ($DFTSIZE $HOPSIZE $WINDOW $LATENCY) =="
 python scripts/crosscheck.py "$DFTSIZE" "$HOPSIZE" "$WINDOW" "$LATENCY" "$WAV" $PLOT
 
+# On-hardware tier: when a TPU is attached, run the f32 parity gates and the
+# accelerator crosscheck on the actual chip (never concurrently with another
+# TPU process).  Skip with SKIP_TPU=1.
+if [ "${SKIP_TPU:-0}" != "1" ] && python - <<'EOF'
+import sys
+try:
+    import jax
+    sys.exit(0 if jax.default_backend() == "tpu" else 1)
+except Exception:
+    sys.exit(1)
+EOF
+then
+  echo "== on-TPU parity gates =="
+  SDFT_TEST_TPU=1 python -m pytest tests -m tpu -q
+  echo "== on-TPU crosscheck ($DFTSIZE $HOPSIZE $WINDOW $LATENCY, f32) =="
+  SDFT_CROSSCHECK_BACKEND=tpu python scripts/crosscheck.py \
+      "$DFTSIZE" "$HOPSIZE" "$WINDOW" "$LATENCY" "$WAV"
+else
+  echo "== no TPU attached; skipping on-hardware tier =="
+fi
+
 echo "== examples =="
 python examples/latency.py
 python examples/stft_window_test.py

@@ -92,11 +92,6 @@ def sdft(plan: Plan, state: State, samples, layout: str = "packed"
     raise ValueError(f"samples must be (M,) or (C, M), got {samples.shape}")
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _roundtrip_2d(plan: Plan, state: State, samples: jax.Array):
-    return jax.vmap(lambda st, x: roundtrip_block_lti(plan, st, x))(state, samples)
-
-
 def roundtrip(plan: Plan, state: State, samples) -> tuple[State, jax.Array]:
     """Fused sdft -> isdft round trip without materializing spectra.
 
@@ -104,7 +99,8 @@ def roundtrip(plan: Plan, state: State, samples) -> tuple[State, jax.Array]:
     its LTI form (see sdft_tpu.ops.lti): three MXU matmuls + a tiny carry
     scan — ~20x the throughput of running ``sdft`` then ``isdft``.  The
     returned state is identical to ``sdft``'s, so the two forms interleave
-    freely on one stream.
+    freely on one stream.  Multi-channel batches fold into the matmul row
+    dims (one GEMM, not C batched small ones — ops.lti.roundtrip_block_lti).
 
     Args:
       plan: static plan.
@@ -115,16 +111,9 @@ def roundtrip(plan: Plan, state: State, samples) -> tuple[State, jax.Array]:
       (new_state, y) with y (M,) or (C, M) synthesized samples.
     """
     samples = jnp.asarray(samples)
-    if samples.ndim == 1:
+    if samples.ndim in (1, 2):
         return roundtrip_block_lti(plan, state, samples)
-    if samples.ndim == 2:
-        return _roundtrip_2d(plan, state, samples)
     raise ValueError(f"samples must be (M,) or (C, M), got {samples.shape}")
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _sdft_hopped_2d(plan: Plan, state: State, samples: jax.Array, hop: int):
-    return jax.vmap(lambda st, x: _sdft_hopped_1d(plan, st, x, hop))(state, samples)
 
 
 def sdft_hopped(plan: Plan, state: State, samples, hop: int
@@ -142,10 +131,8 @@ def sdft_hopped(plan: Plan, state: State, samples, hop: int
       (C, ceil(M/hop), m, 2).
     """
     samples = jnp.asarray(samples)
-    if samples.ndim == 1:
+    if samples.ndim in (1, 2):
         return _sdft_hopped_1d(plan, state, samples, hop)
-    if samples.ndim == 2:
-        return _sdft_hopped_2d(plan, state, samples, hop)
     raise ValueError(f"samples must be (M,) or (C, M), got {samples.shape}")
 
 

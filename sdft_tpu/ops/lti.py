@@ -36,6 +36,7 @@ f64, on TPU and CPU.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -136,27 +137,72 @@ def lti_supported(plan: Plan, M: int) -> bool:
     return True
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def roundtrip_block_lti(plan: Plan, state: State, samples: jnp.ndarray):
-    """Fused forward+inverse round trip of one block for one channel.
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def roundtrip_block_lti(plan: Plan, state: State, samples: jnp.ndarray,
+                        k_tile: int | None = None):
+    """Fused forward+inverse round trip of one block.
 
     Args:
       plan: static plan.
-      state: carry (offset (), delayline (2m,), accumulator (m, 2)).
-      samples: (M,) real samples, any M (internally zero-padded to tiles;
-        zero deltas do not perturb the carry).
+      state: carry (offset (), delayline (2m,), accumulator (m, 2)), or the
+        channel-batched form with a leading (C,) axis on every leaf.
+      samples: (M,) or (C, M) real samples, any M (internally zero-padded to
+        tiles; zero deltas do not perturb the carry).
+      k_tile: samples per tile (static; default K_TILE).  Larger tiles put
+        more of the work on the MXU — the per-element VPU work (phase
+        rotations, cumsum, row0 trig) scales with nt = M/k_tile while the
+        MXU FLOPs are k_tile-invariant — at the cost of larger (K, m)
+        constant tables.
 
     Returns:
-      (new_state, y) with y (M,) in TD precision — equal to
+      (new_state, y) with y (M,) / (C, M) in TD precision — equal to
       ``isdft_block(plan, sdft_block(plan, state, samples)[1])`` up to
       rounding, with the identical new state.
+
+    Channels fold into the contraction *row* dimension — a (C, nt, K) @
+    (K, m) dot is one MXU GEMM over C*nt rows, not C batched small matmuls
+    (which is what a vmap over the 1-channel form would compile to; the
+    reference analogue is sdft_sdft_nd's flat loop, c/src/sdft/sdft.h:622).
     """
+    if samples.ndim == 1:
+        st = jax.tree.map(lambda a: a[None], state)
+        new_st, y = _roundtrip_nd(plan, st, samples[None], k_tile)
+        return jax.tree.map(lambda a: a[0], new_st), y[0]
+    return _roundtrip_nd(plan, state, samples, k_tile)
+
+
+def _phase_rows(offset, nt: int, K: int, m: int, fd):
+    """row0[c, t, j] = T_j^((offset_c + t*K) mod 2m) for t in [0, nt).
+
+    The exponent sequence e0_t = offset + t*K (mod 2m) is periodic in t with
+    period p = 2m / gcd(K, 2m), so only min(nt, p) rows of transcendentals
+    are evaluated; the rest tile bitwise-identically (same integer exponent
+    -> same cos/sin input -> same float).
+    """
+    n2 = 2 * m
+    p = n2 // math.gcd(K, n2)
+    q = min(nt, p)
+    e0 = jnp.mod(offset.astype(jnp.int32)[:, None]
+                 + jnp.arange(q, dtype=jnp.int32)[None, :] * K, n2)
+    r = jnp.mod(e0[..., None] * jnp.arange(m, dtype=jnp.int32), n2)
+    ang = (-np.pi / m) * r.astype(fd)
+    row_re = jnp.cos(ang)
+    row_im = jnp.sin(ang)
+    if nt > q:
+        reps = -(-nt // q)
+        row_re = jnp.tile(row_re, (1, reps, 1))[:, :nt]
+        row_im = jnp.tile(row_im, (1, reps, 1))[:, :nt]
+    return row_re, row_im
+
+
+def _roundtrip_nd(plan: Plan, state: State, samples: jnp.ndarray,
+                  k_tile: int | None = None):
     m = plan.dftsize
     n2 = 2 * m
     td = plan.precision.td_dtype
     fd = plan.precision.fd_dtype
-    (M,) = samples.shape
-    K = K_TILE
+    C, M = samples.shape
+    K = k_tile or K_TILE
     nt = -(-M // K)
     Mp = nt * K
 
@@ -165,33 +211,32 @@ def roundtrip_block_lti(plan: Plan, state: State, samples: jnp.ndarray):
 
     samples = samples.astype(td)
     line = jnp.concatenate([state.delayline, samples], axis=-1)
-    delta = (samples - line[:M]).astype(fd)
-    new_delayline = line[M:]
+    delta = (samples - line[:, :M]).astype(fd)
+    new_delayline = line[:, M:]
     if Mp != M:
-        delta = jnp.pad(delta, (0, Mp - M))
-    dt = delta.reshape(nt, K)
+        delta = jnp.pad(delta, ((0, 0), (0, Mp - M)))
+    dt = delta.reshape(C, nt, K)
 
     hi = jax.lax.Precision.HIGHEST
     totals_re = jnp.dot(dt, fine_re, precision=hi, preferred_element_type=fd)
     totals_im = jnp.dot(dt, fine_im, precision=hi, preferred_element_type=fd)
 
-    # row0_t[j] = T_j^(e0_t), e0_t = offset + t*K (mod 2m), exact int phases
-    e0 = jnp.mod(state.offset.astype(jnp.int32) + jnp.arange(nt, dtype=jnp.int32) * K, n2)
-    r = jnp.mod(e0[:, None] * jnp.arange(m, dtype=jnp.int32)[None, :], n2)
-    ang = (-np.pi / m) * r.astype(fd)
-    row0_re = jnp.cos(ang)
-    row0_im = jnp.sin(ang)
+    # row0[c,t,j] = T_j^(e0), e0 = offset_c + t*K (mod 2m), exact int phases
+    row0_re, row0_im = _phase_rows(state.offset, nt, K, m, fd)
 
     # rotate tile totals into the global frame; scan the carry across tiles
     rt_re = row0_re * totals_re - row0_im * totals_im
     rt_im = row0_re * totals_im + row0_im * totals_re
-    inc_re = jnp.cumsum(rt_re, axis=0)
-    inc_im = jnp.cumsum(rt_im, axis=0)
-    acc_re = state.accumulator[:, 0].astype(fd)[None, :]
-    acc_im = state.accumulator[:, 1].astype(fd)[None, :]
-    prefix_re = acc_re + jnp.concatenate([jnp.zeros_like(inc_re[:1]), inc_re[:-1]])
-    prefix_im = acc_im + jnp.concatenate([jnp.zeros_like(inc_im[:1]), inc_im[:-1]])
-    acc_out = jnp.stack([acc_re[0] + inc_re[-1], acc_im[0] + inc_im[-1]], axis=-1)
+    inc_re = jnp.cumsum(rt_re, axis=1)
+    inc_im = jnp.cumsum(rt_im, axis=1)
+    acc_re = state.accumulator[..., 0].astype(fd)[:, None, :]
+    acc_im = state.accumulator[..., 1].astype(fd)[:, None, :]
+    prefix_re = acc_re + jnp.concatenate(
+        [jnp.zeros_like(inc_re[:, :1]), inc_re[:, :-1]], axis=1)
+    prefix_im = acc_im + jnp.concatenate(
+        [jnp.zeros_like(inc_im[:, :1]), inc_im[:, :-1]], axis=1)
+    acc_out = jnp.stack([acc_re[:, 0] + inc_re[:, -1],
+                         acc_im[:, 0] + inc_im[:, -1]], axis=-1)
 
     # per-tile carry in the demodulated frame: c0 = acc_tile * conj(row0)
     c0_re = prefix_re * row0_re + prefix_im * row0_im
@@ -200,7 +245,7 @@ def roundtrip_block_lti(plan: Plan, state: State, samples: jnp.ndarray):
     y = (jnp.dot(dt, GLT, precision=hi, preferred_element_type=fd)
          + jnp.dot(c0_re, P.T, precision=hi, preferred_element_type=fd)
          + jnp.dot(c0_im, Q.T, precision=hi, preferred_element_type=fd))
-    y = y.reshape(Mp)[:M].astype(td)
+    y = y.reshape(C, Mp)[:, :M].astype(td)
 
     new_state = State(
         offset=jnp.mod(state.offset + M, n2).astype(state.offset.dtype),
@@ -224,21 +269,34 @@ def sdft_hopped(plan: Plan, state: State, samples: jnp.ndarray, hop: int):
 
     Args:
       plan: static plan.
-      state: carry (offset (), delayline (2m,), accumulator (m, 2)).
-      samples: (M,) real samples (the last partial hop, if any, still
-        advances the carry; its spectrum is emitted if it has a first sample).
+      state: carry (offset (), delayline (2m,), accumulator (m, 2)), or the
+        channel-batched form with a leading (C,) axis on every leaf.
+      samples: (M,) or (C, M) real samples (the last partial hop, if any,
+        still advances the carry; its spectrum is emitted if it has a first
+        sample).
       hop: hop size in samples (static).
 
     Returns:
-      (new_state, dfts) with dfts packed (ceil(M/hop), m, 2) — identical (up
-      to rounding) to ``sdft_block(...)[1][::hop]``.
+      (new_state, dfts) with dfts packed (ceil(M/hop), m, 2) or
+      (C, ceil(M/hop), m, 2) — identical (up to rounding) to
+      ``sdft_block(...)[1][..., ::hop, :, :]``.
+
+    Channels fold into the contraction row dims (see roundtrip_block_lti).
     """
+    if samples.ndim == 1:
+        st = jax.tree.map(lambda a: a[None], state)
+        new_st, d = _hopped_nd(plan, st, samples[None], hop)
+        return jax.tree.map(lambda a: a[0], new_st), d[0]
+    return _hopped_nd(plan, state, samples, hop)
+
+
+def _hopped_nd(plan: Plan, state: State, samples: jnp.ndarray, hop: int):
     m = plan.dftsize
     n2 = 2 * m
     td = plan.precision.td_dtype
     fd = plan.precision.fd_dtype
     cd = plan.precision.fdx_dtype
-    (M,) = samples.shape
+    C, M = samples.shape
     nt = -(-M // hop)
     Mp = nt * hop
 
@@ -251,33 +309,31 @@ def sdft_hopped(plan: Plan, state: State, samples: jnp.ndarray, hop: int):
 
     samples = samples.astype(td)
     line = jnp.concatenate([state.delayline, samples], axis=-1)
-    delta = (samples - line[:M]).astype(fd)
-    new_delayline = line[M:]
+    delta = (samples - line[:, :M]).astype(fd)
+    new_delayline = line[:, M:]
     if Mp != M:
-        delta = jnp.pad(delta, (0, Mp - M))
-    dt = delta.reshape(nt, hop)
+        delta = jnp.pad(delta, ((0, 0), (0, Mp - M)))
+    dt = delta.reshape(C, nt, hop)
 
     hi = jax.lax.Precision.HIGHEST
     totals_re = jnp.dot(dt, fine_re, precision=hi, preferred_element_type=fd)
     totals_im = jnp.dot(dt, fine_im, precision=hi, preferred_element_type=fd)
 
-    e0 = jnp.mod(state.offset.astype(jnp.int32)
-                 + jnp.arange(nt, dtype=jnp.int32) * hop, n2)
-    r = jnp.mod(e0[:, None] * jnp.arange(m, dtype=jnp.int32)[None, :], n2)
-    ang = (-np.pi / m) * r.astype(fd)
-    row0 = jnp.cos(ang) + 1j * jnp.sin(ang)
+    row_re, row_im = _phase_rows(state.offset, nt, hop, m, fd)
+    row0 = row_re + 1j * row_im
     totals = (totals_re + 1j * totals_im).astype(cd)
 
     rt = row0 * totals
-    inc = jnp.cumsum(rt, axis=0)
-    acc_in = (state.accumulator[:, 0] + 1j * state.accumulator[:, 1]
-              ).astype(cd)[None, :]
-    prefix = acc_in + jnp.concatenate([jnp.zeros_like(inc[:1]), inc[:-1]])
-    acc_out = pack((acc_in[0] + inc[-1]).astype(cd))
+    inc = jnp.cumsum(rt, axis=1)
+    acc_in = (state.accumulator[..., 0] + 1j * state.accumulator[..., 1]
+              ).astype(cd)[:, None, :]
+    prefix = acc_in + jnp.concatenate(
+        [jnp.zeros_like(inc[:, :1]), inc[:, :-1]], axis=1)
+    acc_out = pack((acc_in[:, 0] + inc[:, -1]).astype(cd))
 
     # accumulator right after each tile's first sample, then demodulate by
     # conj(T^(e0+1)) = conj(row0) * conj(T_j)  (c/src/sdft/sdft.h:585)
-    d0 = dt[:, 0].astype(cd)[:, None]
+    d0 = dt[:, :, 0].astype(cd)[..., None]
     acc_sel = prefix + d0 * (row0 if plan.roi is None
                              else row0 * jnp.asarray(roi_mask, fd))
     conj_base = jnp.exp(1j * (np.pi / m)

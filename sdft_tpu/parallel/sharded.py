@@ -17,9 +17,11 @@ with all cross-device traffic expressed as XLA collectives riding ICI:
     (the sharded analogue of the reduction at c/src/sdft/sdft.h:639-653).
 
 Layout contracts (asserted):
-  samples (C, M): C % mesh.channel == 0, M % mesh.time == 0, and the local
-  block length M/time must be >= 2m (comb history spans one predecessor).
+  samples (C, M): C % mesh.channel == 0, M % mesh.time == 0.
   dftsize m % mesh.bins == 0, and m/bins > window halo.
+  Local time blocks M/time >= 2m keep the comb exchange to one neighbor
+  ppermute; shorter blocks still work but all_gather the sample blocks
+  (see _comb_history).
 """
 
 from __future__ import annotations
@@ -71,6 +73,38 @@ def _exclusive_prefix(local_total, axis: str):
     return prefix, grand
 
 
+def _comb_history(delayline, samples, n2: int):
+    """Comb-stage history for this time shard, plus the stream's next
+    delayline.
+
+    Returns (hist (C, n2), new_delayline (C, n2)) where ``hist`` holds the
+    n2 = 2m samples immediately preceding this device's local block in the
+    global stream (the reference ring-buffer content, c/src/sdft/sdft.h:433).
+
+    When the local block L >= 2m the history lives entirely on the immediate
+    predecessor: one tail ppermute + one 2m-tail all_gather.  When L < 2m it
+    spans ceil(2m/L) predecessors; the local blocks are all_gathered (O(M)
+    ICI traffic — the price of very fine time sharding) and each device
+    slices its 2m-window out of the assembled stream.
+    """
+    C, L = samples.shape
+    d = lax.axis_index("time")
+    ndev = lax.axis_size("time")
+    if L >= n2:
+        tail = samples[:, -n2:]
+        fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+        prev_tail = lax.ppermute(tail, "time", fwd)
+        hist = jnp.where(d == 0, delayline, prev_tail)
+        tails = lax.all_gather(tail, "time")
+        return hist, tails[-1]
+    blocks = lax.all_gather(samples, "time")                  # (D, C, L)
+    g = jnp.concatenate([delayline]
+                        + [blocks[i] for i in range(blocks.shape[0])],
+                        axis=-1)                              # (C, n2 + M)
+    hist = lax.dynamic_slice_in_dim(g, d * L, n2, axis=-1)
+    return hist, g[:, -n2:]
+
+
 def _bin_halo_exchange(aux, halo: int, axis: str):
     """Pad local bin columns with neighbor halos; Hermitian guards at edges.
 
@@ -109,17 +143,13 @@ def _forward_local(plan: Plan, state: State, samples, *, m_total: int):
     acc_in = cplx.unpack(state.accumulator)  # (C, mb) complex
 
     d = lax.axis_index("time")
-    ndev = lax.axis_size("time")
     b0 = lax.axis_index("bins") * mb
     bins = b0 + jnp.arange(mb, dtype=jnp.int32)
 
     samples = samples.astype(td)
 
-    # --- comb stage: history = predecessor tail (ppermute) or delayline ----
-    tail = samples[:, -n2:]  # L >= 2m enforced by caller
-    fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
-    prev_tail = lax.ppermute(tail, "time", fwd)
-    hist_src = jnp.where(d == 0, state.delayline, prev_tail)
+    # --- comb stage: history from predecessor shard(s) ---------------------
+    hist_src, new_delayline = _comb_history(state.delayline, samples, n2)
     line = jnp.concatenate([hist_src, samples], axis=-1)
     delta = (samples - line[:, :L]).astype(fd)
 
@@ -149,11 +179,9 @@ def _forward_local(plan: Plan, state: State, samples, *, m_total: int):
     dfts = cplx.pack(window_convolve(plan, padded, edges=False))
 
     # --- next state -------------------------------------------------------
-    tails = lax.all_gather(tail, "time")             # (D, C, 2m)
-    new_delayline = tails[-1].astype(td)
     new_state = State(
         offset=jnp.mod(state.offset + m_total, n2).astype(state.offset.dtype),
-        delayline=new_delayline,
+        delayline=new_delayline.astype(td),
         accumulator=cplx.pack(grand_total),
     )
     return new_state, dfts
@@ -195,7 +223,6 @@ def _roundtrip_local_lti(plan: Plan, state: State, samples, fine_re, fine_im,
     mb = state.accumulator.shape[-2]
 
     d = lax.axis_index("time")
-    ndev = lax.axis_size("time")
     b0 = lax.axis_index("bins") * mb
     bins = b0 + jnp.arange(mb, dtype=jnp.int32)
 
@@ -214,11 +241,8 @@ def _roundtrip_local_lti(plan: Plan, state: State, samples, fine_re, fine_im,
 
     samples = samples.astype(td)
 
-    # comb stage: history from the predecessor time shard (ppermute)
-    tail = samples[:, -n2:]
-    fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
-    prev_tail = lax.ppermute(tail, "time", fwd)
-    hist_src = jnp.where(d == 0, state.delayline, prev_tail)
+    # comb stage: history from predecessor time shard(s)
+    hist_src, new_delayline = _comb_history(state.delayline, samples, n2)
     line = jnp.concatenate([hist_src, samples], axis=-1)
     delta = (samples - line[:, :L]).astype(fd)
 
@@ -267,10 +291,9 @@ def _roundtrip_local_lti(plan: Plan, state: State, samples, fine_re, fine_im,
                       preferred_element_type=fd))
     y = lax.psum(y, "bins").reshape(C, Lp)[:, :L].astype(td)
 
-    tails = lax.all_gather(tail, "time")
     new_state = State(
         offset=jnp.mod(state.offset + m_total, n2).astype(state.offset.dtype),
-        delayline=tails[-1].astype(td),
+        delayline=new_delayline.astype(td),
         accumulator=(state.accumulator.astype(fd) + grand
                      ).astype(state.accumulator.dtype),
     )
@@ -289,11 +312,6 @@ def _check_layout(plan: Plan, mesh: Mesh, C: int, M: int):
         raise ValueError(f"channels {C} not divisible by mesh channel={nc}")
     if M % nt:
         raise ValueError(f"block {M} not divisible by mesh time={nt}")
-    if nt > 1 and M // nt < 2 * plan.dftsize:
-        raise ValueError(
-            f"local time block {M // nt} < 2m={2 * plan.dftsize}; comb history "
-            f"spans more than one predecessor — use longer blocks or fewer "
-            f"time shards")
     if plan.dftsize % nb:
         raise ValueError(f"dftsize {plan.dftsize} not divisible by mesh bins={nb}")
     if nb > 1 and plan.dftsize // nb <= WINDOW_HALO[plan.window]:

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from sdft_tpu import Plan, Precision, init_state, roundtrip
+from sdft_tpu.state import State
 from sdft_tpu.ops.analysis import sdft_block
 from sdft_tpu.ops.lti import roundtrip_block_lti
 from sdft_tpu.ops.synthesis import isdft_block
@@ -116,6 +117,40 @@ def test_public_roundtrip_batched():
     for ch in range(4):
         _, y_ref = _scan_roundtrip(plan, init_state(plan), x[ch])
         np.testing.assert_allclose(np.asarray(y)[ch], y_ref, atol=1e-12)
+
+
+def test_batched_lti_matches_per_channel_streaming():
+    """The channel-folded GEMM form equals C independent 1-channel streams,
+    including desynchronized per-channel offsets carried across blocks."""
+    plan = Plan(128, window="blackman", latency=0.5, precision=F64)
+    C, M = 3, 512
+    x = _signal(C * 2 * M, seed=7).reshape(C, 2 * M)
+
+    # desynchronize offsets: feed channel c a prefix of c*37 samples first
+    states = []
+    for c in range(C):
+        s = init_state(plan)
+        if c:
+            s, _ = roundtrip_block_lti(plan, s, np.zeros(37 * c))
+        states.append(s)
+    sb = State(
+        offset=np.stack([np.asarray(s.offset) for s in states]),
+        delayline=np.stack([np.asarray(s.delayline) for s in states]),
+        accumulator=np.stack([np.asarray(s.accumulator) for s in states]),
+    )
+
+    for b in range(2):
+        blk = x[:, b * M:(b + 1) * M]
+        sb, yb = roundtrip_block_lti(plan, sb, blk)
+        for c in range(C):
+            states[c], y1 = roundtrip_block_lti(plan, states[c], blk[c])
+            np.testing.assert_allclose(np.asarray(yb)[c], np.asarray(y1),
+                                       atol=1e-13)
+    for c in range(C):
+        np.testing.assert_allclose(np.asarray(sb.accumulator)[c],
+                                   np.asarray(states[c].accumulator),
+                                   atol=1e-13)
+        assert int(sb.offset[c]) == int(states[c].offset)
 
 
 def test_streamer_uses_fused_roundtrip():

@@ -115,12 +115,63 @@ def test_layout_validation():
     plan = Plan(32, precision=F64)
     mesh = make_mesh(channel=1, time=2, bins=1)
     state = init_state(plan, channels=1)
-    x = np.zeros((1, 100))  # 100 not divisible by 2... actually 50 < 2m
+    x = np.zeros((1, 101))  # 101 not divisible by time=2
     with pytest.raises(ValueError):
         sharded_sdft(plan, mesh, state, x)
     with pytest.raises(ValueError):
         sharded_sdft(plan, make_mesh(bins=3), init_state(plan, channels=1),
                      np.zeros((1, 128)))
+
+
+def test_sharded_short_local_blocks_multi_predecessor_comb():
+    """Local time blocks < 2m: the comb history spans several predecessor
+    shards (multi-hop _comb_history) and must still match single-device
+    output exactly, chained across calls."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sdft_tpu.ops.lti import roundtrip_block_lti
+
+    m = 32                      # 2m = 64
+    nt = 8
+    M = 16 * nt                 # local block 16 < 2m = 64: spans 4 shards
+    mesh = make_mesh(channel=1, time=nt, bins=1)
+    x = _signal(1, 3 * M, seed=23)
+
+    st_sh = init_state(plan := Plan(m, window="hann", precision=F64), channels=1)
+    st_ref = init_state(plan, channels=1)
+    for b in range(3):
+        blk = x[:, b * M:(b + 1) * M]
+        st_sh, y_sh = sharded_roundtrip(plan, mesh, st_sh, blk)
+        st_ref, y_ref = roundtrip_block_lti(plan, st_ref, blk)
+        np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                                   atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_sh.accumulator),
+                               np.asarray(st_ref.accumulator), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(st_sh.delayline),
+                                  np.asarray(st_ref.delayline))
+
+
+def test_sharded_scanform_short_local_blocks():
+    """Scan-form program with local blocks < 2m (multi-predecessor comb)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sdft_tpu.api import sdft as api_sdft
+
+    m = 32
+    nt = 4
+    M = 32 * nt                 # local block 32 < 2m = 64: spans 2 shards
+    mesh = make_mesh(channel=2, time=nt, bins=1)
+    plan = Plan(m, window="hamming", precision=F64)
+    x = _signal(2, 2 * M, seed=29)
+
+    st_sh = init_state(plan, channels=2)
+    st_ref = init_state(plan, channels=2)
+    for b in range(2):
+        blk = x[:, b * M:(b + 1) * M]
+        st_sh, d_sh = sharded_sdft(plan, mesh, st_sh, blk)
+        st_ref, d_ref = api_sdft(plan, st_ref, blk)
+        np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref),
+                                   atol=1e-12)
 
 
 @pytest.mark.parametrize("axes", [(1, 1, 8), (1, 8, 1), (2, 2, 2), (1, 2, 4)])
