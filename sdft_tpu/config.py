@@ -41,12 +41,20 @@ class Precision:
 
     td: str = "float32"
     fd: str = "float64"
+    #: MXU accumulation mode for float32 contractions: "highest" is exact
+    #: f32 (6 bf16 passes on TPU), "high" is the 3-pass bf16 split (~2x the
+    #: GEMM throughput, ~1e-8-relative rounding — still orders under the
+    #: reference 1e-7 DFT gate; see tests/test_tpu.py).  Ignored for f64.
+    mxu: str = "highest"
 
     def __post_init__(self):
         if self.td not in _REAL_DTYPES:
             raise ValueError(f"unsupported td dtype {self.td!r}; pick from {_REAL_DTYPES}")
         if self.fd not in _REAL_DTYPES:
             raise ValueError(f"unsupported fd dtype {self.fd!r}; pick from {_REAL_DTYPES}")
+        if self.mxu not in ("highest", "high"):
+            raise ValueError(f"unsupported mxu mode {self.mxu!r}; "
+                             f"pick 'highest' or 'high'")
 
     def resolve(self) -> "Precision":
         """Downgrade float64 requests to float32 when x64 is disabled."""
@@ -56,7 +64,16 @@ class Precision:
         fd = "float32" if self.fd == "float64" else self.fd
         if (td, fd) == (self.td, self.fd):
             return self
-        return Precision(td=td, fd=fd)
+        return Precision(td=td, fd=fd, mxu=self.mxu)
+
+    @property
+    def mxu_precision(self):
+        """lax.Precision for f32 MXU contractions (f64 dots are unaffected
+        by this on CPU; f64 is not a TPU dtype)."""
+        from jax import lax
+
+        return (lax.Precision.HIGHEST if self.mxu == "highest"
+                else lax.Precision.HIGH)
 
     # dtype accessors (resolved against the runtime x64 flag)
     @property

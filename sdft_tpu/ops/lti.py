@@ -217,7 +217,7 @@ def _roundtrip_nd(plan: Plan, state: State, samples: jnp.ndarray,
         delta = jnp.pad(delta, ((0, 0), (0, Mp - M)))
     dt = delta.reshape(C, nt, K)
 
-    hi = jax.lax.Precision.HIGHEST
+    hi = plan.precision.mxu_precision
     totals_re = jnp.dot(dt, fine_re, precision=hi, preferred_element_type=fd)
     totals_im = jnp.dot(dt, fine_im, precision=hi, preferred_element_type=fd)
 
@@ -315,7 +315,7 @@ def _hopped_nd(plan: Plan, state: State, samples: jnp.ndarray, hop: int):
         delta = jnp.pad(delta, ((0, 0), (0, Mp - M)))
     dt = delta.reshape(C, nt, hop)
 
-    hi = jax.lax.Precision.HIGHEST
+    hi = plan.precision.mxu_precision
     totals_re = jnp.dot(dt, fine_re, precision=hi, preferred_element_type=fd)
     totals_im = jnp.dot(dt, fine_im, precision=hi, preferred_element_type=fd)
 

@@ -231,7 +231,7 @@ def _roundtrip_local_lti(plan: Plan, state: State, samples, fine_re, fine_im,
     fim = lax.dynamic_slice_in_dim(fine_im, b0, mb, axis=1)
     Pb = lax.dynamic_slice_in_dim(P, b0, mb, axis=1)
     Qb = lax.dynamic_slice_in_dim(Q, b0, mb, axis=1)
-    hi = lax.Precision.HIGHEST
+    hi = plan.precision.mxu_precision
     # local causal G matrix: G_b[k,k'] = sum_{j in shard} P[k,j]*fine_re[k',j]
     # + Q[k,j]*fine_im[k',j]; the psum over 'bins' below completes the sum.
     kk = jnp.arange(K)
@@ -298,6 +298,84 @@ def _roundtrip_local_lti(plan: Plan, state: State, samples, fine_re, fine_im,
                      ).astype(state.accumulator.dtype),
     )
     return new_state, y
+
+
+def _hopped_local(plan: Plan, state: State, samples, fine_re, fine_im,
+                  *, hop: int, m_total: int):
+    """Per-device hopped analysis (one spectrum per hop of the global
+    stream — the reference driver protocol, test/test.c:69-83).  Same prefix
+    machinery as _roundtrip_local_lti with tile length ``hop``; the selected
+    spectrum is the demodulated+windowed tile-start accumulator, so skipped
+    spectra are never computed.  Window convolution runs after a bin-halo
+    exchange (sharded Hermitian guards, c/src/sdft/sdft.h:589-595).
+    """
+    m = plan.dftsize
+    n2 = 2 * m
+    td = plan.precision.td_dtype
+    fd = plan.precision.fd_dtype
+    cd = plan.precision.fdx_dtype
+    C, L = samples.shape
+    mb = state.accumulator.shape[-2]
+
+    d = lax.axis_index("time")
+    b0 = lax.axis_index("bins") * mb
+    bins = b0 + jnp.arange(mb, dtype=jnp.int32)
+
+    # local bin columns of the hop-tile phase table
+    fre = lax.dynamic_slice_in_dim(fine_re, b0, mb, axis=1)
+    fim = lax.dynamic_slice_in_dim(fine_im, b0, mb, axis=1)
+    hi = plan.precision.mxu_precision
+
+    samples = samples.astype(td)
+    hist_src, new_delayline = _comb_history(state.delayline, samples, n2)
+    line = jnp.concatenate([hist_src, samples], axis=-1)
+    delta = (samples - line[:, :L]).astype(fd)
+
+    nt = L // hop  # L % hop == 0 enforced by caller
+    dt = delta.reshape(C, nt, hop)
+
+    totals_re = jnp.einsum("ctk,km->ctm", dt, fre, precision=hi,
+                           preferred_element_type=fd)
+    totals_im = jnp.einsum("ctk,km->ctm", dt, fim, precision=hi,
+                           preferred_element_type=fd)
+    totals = (totals_re + 1j * totals_im).astype(cd)
+
+    # absolute tile-start exponents (exact mod-2m integer phases)
+    e0 = jnp.mod(state.offset.astype(jnp.int32)[:, None] + d * L
+                 + jnp.arange(nt, dtype=jnp.int32)[None, :] * hop, n2)
+    r = jnp.mod(e0[..., None] * bins[None, None, :], n2)
+    ang = (-np.pi / m) * r.astype(fd)
+    row0 = jnp.cos(ang) + 1j * jnp.sin(ang)
+
+    rt = row0 * totals
+    inc = jnp.cumsum(rt, axis=1)
+
+    # two-level carry: device-exclusive prefix over 'time', then local tiles
+    local_total = cplx.pack(inc[:, -1])                       # (C, mb, 2)
+    dev_prefix, grand = _exclusive_prefix(local_total, "time")
+    acc_in = (cplx.unpack(state.accumulator.astype(fd))
+              + cplx.unpack(dev_prefix))[:, None, :]
+    prefix = acc_in + jnp.concatenate(
+        [jnp.zeros_like(inc[:, :1]), inc[:, :-1]], axis=1)
+
+    # accumulator right after each tile's first sample; demodulate by
+    # conj(T^(e0+1)) = conj(row0) * conj(T_j)  (c/src/sdft/sdft.h:585)
+    d0 = dt[:, :, 0].astype(cd)[..., None]
+    acc_sel = prefix + d0 * row0
+    conj_base = jnp.exp(1j * (np.pi / m) * bins.astype(fd)).astype(cd)
+    aux = acc_sel * jnp.conj(row0) * conj_base
+
+    halo = WINDOW_HALO[plan.window]
+    padded = _bin_halo_exchange(aux, halo, "bins")
+    out = window_convolve(plan, padded, edges=False)
+
+    new_state = State(
+        offset=jnp.mod(state.offset + m_total, n2).astype(state.offset.dtype),
+        delayline=new_delayline.astype(td),
+        accumulator=(state.accumulator.astype(fd) + grand
+                     ).astype(state.accumulator.dtype),
+    )
+    return new_state, cplx.pack(out)
 
 
 def _check_layout(plan: Plan, mesh: Mesh, C: int, M: int):
@@ -375,6 +453,51 @@ def _sharded_roundtrip_lti_jit(plan: Plan, mesh: Mesh, state: State, samples):
         out_specs=(STATE_SPECS, SAMPLE_SPEC),
         check_vma=False,
     )(state, samples, *consts)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def _sharded_hopped_jit(plan: Plan, mesh: Mesh, state: State, samples,
+                        hop: int):
+    m_total = samples.shape[-1]
+    fd = plan.precision.fd_dtype
+    from ..ops.lti import _fine_host
+    consts = tuple(jnp.asarray(a, fd) for a in _fine_host(plan, hop))
+    body = functools.partial(_hopped_local, plan, hop=hop, m_total=m_total)
+    rep = P(None, None)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(STATE_SPECS, SAMPLE_SPEC, rep, rep),
+        out_specs=(STATE_SPECS, DFT_SPEC),
+        check_vma=False,
+    )(state, samples, *consts)
+
+
+def sharded_sdft_hopped(plan: Plan, mesh: Mesh, state: State, samples,
+                        hop: int):
+    """Hopped forward analysis over the mesh: one spectrum per ``hop``
+    samples of the global stream (the reference driver protocol,
+    test/test.c:69-83), so the sharded CLI path can produce the comparator
+    .dft dump without materializing every spectrum.
+
+    Args:
+      plan: static plan (no ROI under sharding).
+      mesh: ('channel', 'time', 'bins') mesh.
+      state: batched State.
+      samples: (C, M); M/time must be a multiple of ``hop``.
+      hop: hop size in samples (static).
+
+    Returns:
+      (new_state, dfts) with dfts packed (C, M/hop, m, 2), sharded
+      (channel, time, bins, -).
+    """
+    samples = jnp.asarray(samples)
+    C, M = samples.shape
+    _check_layout(plan, mesh, C, M)
+    nt = dict(zip(mesh.axis_names, mesh.devices.shape))["time"]
+    if (M // nt) % hop:
+        raise ValueError(
+            f"local time block {M // nt} not a multiple of hop {hop}")
+    return _sharded_hopped_jit(plan, mesh, state, samples, hop)
 
 
 def sharded_sdft(plan: Plan, mesh: Mesh, state: State, samples):

@@ -205,9 +205,80 @@ def benchmark_marginal(step, state, xs, *, k_lo: int = 4, k_hi: int = 12,
     return out
 
 
+def bench_mesh_cli(argv, mesh_spec: str) -> int:
+    """``python -m sdft_tpu bench --mesh CxTxB [m] [block] [runs]`` —
+    sharded round-trip throughput and strong-scaling efficiency vs one
+    device (the §3.5 bench protocol generalized to a mesh; BASELINE.md
+    scaling target).  Runs on whatever devices exist — the virtual CPU mesh
+    in CI (set XLA_FLAGS=--xla_force_host_platform_device_count=N
+    JAX_PLATFORMS=cpu), real chips in production.  Prints one JSON line.
+    """
+    import json
+
+    import jax.numpy as jnp
+
+    from .config import FAST_PRECISION
+    from .state import init_state
+    from .ops.lti import roundtrip_block_lti
+    from .parallel import make_mesh, sharded_roundtrip
+
+    try:
+        nc, nt, nb = (int(p) for p in mesh_spec.lower().split("x"))
+    except ValueError:
+        raise SystemExit(f"--mesh expects CxTxB (e.g. 1x4x2), got {mesh_spec!r}")
+
+    m = int(argv[0]) if len(argv) > 0 else 4096
+    # default block: big enough that every time shard holds >= 2m samples
+    # (one-neighbor comb exchange) and the marginal dominates dispatch
+    block = int(argv[1]) if len(argv) > 1 else max(16384, 2 * 2 * m * nt)
+    runs = int(argv[2]) if len(argv) > 2 else 3
+
+    ndev = nc * nt * nb
+    mesh = make_mesh(nc, nt, nb)
+    plan = Plan(m, window="hann", precision=FAST_PRECISION)
+    C = max(nc, 1)
+    state = init_state(plan, channels=C)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.standard_normal((12, C, block)),
+                     plan.precision.td_dtype)
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({jax.default_backend()}) x "
+          f"{len(jax.devices())}; mesh channel={nc} time={nt} bins={nb}")
+
+    res = benchmark_marginal(
+        lambda st, x: sharded_roundtrip(plan, mesh, st, x),
+        state, xs, repeats=runs)
+    t_mesh = res["seconds"]
+    rate = C * block / t_mesh
+    print(f"sharded roundtrip m={m} block={block} C={C}: "
+          f"{t_mesh * 1e3:.3f} ms/block marginal -> {rate:,.0f} samples/s "
+          f"({rate / ndev:,.0f} per device)")
+
+    # strong-scaling baseline: the same global block on ONE device
+    res1 = benchmark_marginal(
+        lambda st, x: roundtrip_block_lti(plan, st, x),
+        state, xs, repeats=runs)
+    t_one = res1["seconds"]
+    speedup = t_one / t_mesh
+    eff = speedup / ndev
+    print(f"single-device: {t_one * 1e3:.3f} ms/block -> "
+          f"speedup {speedup:.2f}x on {ndev} devices, "
+          f"scaling efficiency {eff:.1%}")
+    print(json.dumps({
+        "metric": f"sharded_roundtrip_samples_per_s_m{m}",
+        "value": round(rate, 1),
+        "unit": "samples/s",
+        "mesh": {"channel": nc, "time": nt, "bins": nb},
+        "per_device_samples_per_s": round(rate / ndev, 1),
+        "scaling_efficiency_vs_1dev": round(eff, 4),
+    }))
+    return 0
+
+
 def bench_cli(argv) -> int:
     """``python -m sdft_tpu bench [m] [block] [runs]`` — roundtrip bench
-    with roofline accounting (the §3.5 bench protocol, m=4096 default)."""
+    with roofline accounting (the §3.5 bench protocol, m=4096 default).
+    With ``--mesh CxTxB`` runs the sharded scaling bench instead."""
     import jax.numpy as jnp
 
     from .config import FAST_PRECISION
@@ -216,6 +287,13 @@ def bench_cli(argv) -> int:
     from .ops.analysis import sdft_block
     from .ops.lti import roundtrip_block_lti
     from .ops.synthesis import isdft_block
+
+    argv = list(argv)
+    if "--mesh" in argv:
+        i = argv.index("--mesh")
+        mesh_spec = argv[i + 1]
+        del argv[i:i + 2]
+        return bench_mesh_cli(argv, mesh_spec)
 
     m = int(argv[0]) if len(argv) > 0 else 4096
     block = int(argv[1]) if len(argv) > 1 else 16384

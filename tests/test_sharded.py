@@ -229,3 +229,53 @@ def test_sharded_roundtrip_lti_streaming_carry():
         state, y = sharded_roundtrip(plan, mesh, state, x[:, b * M:(b + 1) * M])
         got.append(np.asarray(y))
     np.testing.assert_allclose(np.concatenate(got, axis=1), want, atol=1e-12)
+
+
+def test_sharded_hopped_matches_unsharded():
+    """Sharded hopped analysis equals the single-device hopped path for
+    several mesh factorizations, chained across blocks."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sdft_tpu.ops.lti import sdft_hopped
+    from sdft_tpu.parallel import sharded_sdft_hopped
+
+    m, hop = 32, 16
+    plan = Plan(m, window="hann", precision=F64)
+    C, M = 2, 512
+    x = _signal(C, 2 * M, seed=31)
+
+    for axes in [(1, 2, 4), (2, 2, 2), (1, 8, 1), (1, 1, 8)]:
+        mesh = make_mesh(*axes)
+        st_sh = init_state(plan, channels=C)
+        st_ref = init_state(plan, channels=C)
+        for b in range(2):
+            blk = x[:, b * M:(b + 1) * M]
+            st_sh, d_sh = sharded_sdft_hopped(plan, mesh, st_sh, blk, hop)
+            st_ref, d_ref = sdft_hopped(plan, st_ref, blk, hop)
+            assert np.asarray(d_sh).shape == (C, M // hop, m, 2)
+            np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref),
+                                       atol=1e-12)
+        np.testing.assert_allclose(np.asarray(st_sh.accumulator),
+                                   np.asarray(st_ref.accumulator), atol=1e-12)
+
+
+def test_sharded_hopped_blackman_short_blocks():
+    """Blackman (halo 2) + local blocks < 2m: bin-halo exchange and
+    multi-predecessor comb compose."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sdft_tpu.ops.lti import sdft_hopped
+    from sdft_tpu.parallel import sharded_sdft_hopped
+
+    m, hop = 32, 8
+    plan = Plan(m, window="blackman", precision=F64)
+    M = 32 * 4                   # local block 32 < 2m = 64
+    mesh = make_mesh(1, 4, 2)
+    x = _signal(1, M, seed=37)
+
+    st_sh, d_sh = sharded_sdft_hopped(plan, mesh, init_state(plan, channels=1),
+                                      x, hop)
+    st_ref, d_ref = sdft_hopped(plan, init_state(plan, channels=1), x, hop)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_sh.accumulator),
+                               np.asarray(st_ref.accumulator), atol=1e-12)
