@@ -1,7 +1,7 @@
 """Ad-hoc accuracy probe: f32 LTI/hopped on TPU vs f64 oracle, for MXU
 accumulation modes 'highest' (exact f32) and 'high' (3-pass bf16 split).
 
-    python scripts/exp_prec.py [m] [hop]
+    python scripts/exp_prec.py [m] [hop] [max_samples] [modes]
 """
 
 import pathlib
@@ -23,8 +23,10 @@ from sdft_tpu.oracle import NativeSDFT  # noqa: E402
 def main():
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     hop = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    cap = int(sys.argv[3]) if len(sys.argv) > 3 else 10**9
+    modes = sys.argv[4].split(",") if len(sys.argv) > 4 else ["highest", "high"]
     x, sr = read_wav("/root/reference/test/test.wav")
-    size = (x.size // hop) * hop
+    size = (min(x.size, cap) // hop) * hop
     x = x[:size].astype(np.float32)
     block = hop * max(1, 4096 // hop)
     print(f"backend={jax.default_backend()} m={m} hop={hop} n={size}")
@@ -40,7 +42,7 @@ def main():
 
     from sdft_tpu import refresh
 
-    for mode in ("highest", "high"):
+    for mode in modes:
         for do_refresh in (False, True):
             plan = Plan(m, window="hann",
                         precision=Precision("float32", "float32", mxu=mode))

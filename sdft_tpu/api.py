@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cplx import from_complex
+from .cplx import from_complex, pack, unpack
 from .kernels import forward_block_pallas, pallas_supported, plan_supported
 from .ops.analysis import refresh_state, sdft_block
 from .ops.lti import roundtrip_block_lti, sdft_hopped as _sdft_hopped_1d
@@ -92,28 +92,56 @@ def sdft(plan: Plan, state: State, samples, layout: str = "packed"
     raise ValueError(f"samples must be (M,) or (C, M), got {samples.shape}")
 
 
-def roundtrip(plan: Plan, state: State, samples) -> tuple[State, jax.Array]:
-    """Fused sdft -> isdft round trip without materializing spectra.
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _roundtrip_transform(plan: Plan, state: State, samples, transform):
+    if samples.ndim == 1:
+        st, d = sdft_block(plan, state, samples)
+    else:
+        st, d = jax.vmap(lambda s, x: sdft_block(plan, s, x))(state, samples)
+    z = transform(unpack(d))
+    if z.shape != d.shape[:-1]:
+        raise ValueError(
+            f"transform must preserve the spectra shape {d.shape[:-1]}, "
+            f"returned {z.shape}")
+    return st, isdft_block(plan, pack(z))
 
-    Because no spectral transform is applied, the whole chain collapses to
+
+def roundtrip(plan: Plan, state: State, samples, transform=None
+              ) -> tuple[State, jax.Array]:
+    """sdft -> [transform ->] isdft round trip of one block.
+
+    Without a transform the chain is linear time-invariant and collapses to
     its LTI form (see sdft_tpu.ops.lti): three MXU matmuls + a tiny carry
-    scan — ~20x the throughput of running ``sdft`` then ``isdft``.  The
-    returned state is identical to ``sdft``'s, so the two forms interleave
-    freely on one stream.  Multi-channel batches fold into the matmul row
-    dims (one GEMM, not C batched small ones — ops.lti.roundtrip_block_lti).
+    scan, spectra never materialized — ~20x the throughput of running
+    ``sdft`` then ``isdft``.  The returned state is identical to ``sdft``'s,
+    so the two forms interleave freely on one stream.  Multi-channel batches
+    fold into the matmul row dims (one GEMM, not C batched small ones —
+    ops.lti.roundtrip_block_lti).
+
+    With a transform — the reference's core spectral-processing pattern
+    (python/src/sdft/sdft.py docs: analyze, modify the spectrum, resynthesize)
+    — the chain is no longer LTI; the spectra are materialized, passed to
+    ``transform`` as a complex (M, m) (or (C, M, m)) array *inside* the jit
+    program (so XLA fuses elementwise transforms into the synthesis matvec),
+    and synthesized.  ``transform`` must be a traceable pure function
+    preserving the spectra shape; it is hashed by identity for the jit
+    cache, so define it once rather than inline per call.
 
     Args:
       plan: static plan.
       state: carry (batched iff samples are batched).
       samples: (M,) or (C, M) real samples.
+      transform: optional spectral map, complex (..., M, m) -> same shape.
 
     Returns:
       (new_state, y) with y (M,) or (C, M) synthesized samples.
     """
     samples = jnp.asarray(samples)
-    if samples.ndim in (1, 2):
+    if samples.ndim not in (1, 2):
+        raise ValueError(f"samples must be (M,) or (C, M), got {samples.shape}")
+    if transform is None:
         return roundtrip_block_lti(plan, state, samples)
-    raise ValueError(f"samples must be (M,) or (C, M), got {samples.shape}")
+    return _roundtrip_transform(plan, state, samples, transform)
 
 
 def sdft_hopped(plan: Plan, state: State, samples, hop: int

@@ -167,3 +167,58 @@ def test_float32_fd_precision_close_to_float64():
     _, d32 = sdft(p32, init_state(p32), x)
 
     np.testing.assert_allclose(np.asarray(d32), np.asarray(d64), atol=5e-5)
+
+
+def test_roundtrip_transform_identity_matches_lti():
+    """roundtrip(transform=identity) == sdft -> isdft == LTI roundtrip."""
+    from sdft_tpu import roundtrip
+
+    m = 32
+    x = _signal(6 * m, seed=7)
+    plan = Plan(m, window="hann")
+
+    st_a, y_a = roundtrip(plan, init_state(plan), x)
+    st_b, y_b = roundtrip(plan, init_state(plan), x, transform=lambda z: z)
+
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_a), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st_b.accumulator),
+                               np.asarray(st_a.accumulator), atol=1e-12)
+
+
+def test_roundtrip_transform_matches_manual_chain():
+    """A lowpass spectral transform equals the hand-written
+    sdft -> modify -> isdft chain, single and multi channel."""
+    from sdft_tpu import roundtrip
+
+    m = 32
+    plan = Plan(m, window="hann")
+    mask = (np.arange(m) < m // 2).astype(np.float64)
+
+    def lowpass(z):
+        return z * mask
+
+    for C in (None, 3):
+        n = 6 * m
+        x = _signal((n if C is None else C * n), seed=11)
+        if C is not None:
+            x = x.reshape(C, n)
+        state = init_state(plan, channels=C) if C else init_state(plan)
+
+        st_t, y_t = roundtrip(plan, state, x, transform=lowpass)
+
+        st_m, d = sdft(plan, state, x)
+        z = to_complex(np.asarray(d)) * mask
+        y_m = np.asarray(isdft(plan, z.astype(np.complex128)))
+
+        np.testing.assert_allclose(np.asarray(y_t), y_m, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(st_t.accumulator),
+                                   np.asarray(st_m.accumulator), atol=1e-12)
+
+
+def test_roundtrip_transform_shape_guard():
+    from sdft_tpu import roundtrip
+
+    plan = Plan(16)
+    x = _signal(32)
+    with pytest.raises(ValueError, match="preserve the spectra shape"):
+        roundtrip(plan, init_state(plan), x, transform=lambda z: z[..., :4])
