@@ -14,6 +14,11 @@ Extra optional flags (after the 7 positionals):
   --fd32        use float32 frequency-domain math (TPU fast path)
   --block N     process N-sample blocks internally instead of per-hop calls
                 (identical output by chunking invariance; much faster on TPU)
+  --mesh CxTxB  run the driver's analysis/synthesis over a
+                (channel, time, bins) device mesh (sdft_tpu.parallel) —
+                C must be 1 (the driver is mono), T*B <= device count.
+                Implies a block of lcm(hop, T) tiles; same output as the
+                single-device path (shard-count invariance).
 """
 
 from __future__ import annotations
@@ -45,11 +50,29 @@ def main(argv=None) -> int:
     srcfile, wavfile, dftfile = argv[4:7]
     extras = argv[7:]
     fd = "float32" if "--fd32" in extras else "float64"
-    block = hopsize
+    mesh = None
+    nt_mesh = 1
+    if "--mesh" in extras:
+        from .parallel import make_mesh
+
+        spec = extras[extras.index("--mesh") + 1]
+        try:
+            nc, ntm, nb = (int(p) for p in spec.lower().split("x"))
+        except ValueError:
+            raise SystemExit(f"--mesh expects CxTxB (e.g. 1x4x2), got {spec!r}")
+        if nc != 1:
+            raise SystemExit("--mesh channel axis must be 1 (mono driver)")
+        mesh = make_mesh(nc, ntm, nb)
+        nt_mesh = ntm
+
+    block = hopsize * nt_mesh
     if "--block" in extras:
         block = int(extras[extras.index("--block") + 1])
     if block % hopsize:
         raise SystemExit(f"--block {block} must be a multiple of hopsize {hopsize}")
+    if block % (hopsize * nt_mesh):
+        raise SystemExit(f"--block {block} must be a multiple of "
+                         f"hop*T = {hopsize * nt_mesh} under --mesh")
 
     precision = Precision(td="float32" if fd == "float32" else "float64", fd=fd)
     plan = Plan(dftsize, window=window, latency=latency, precision=precision)
@@ -59,7 +82,14 @@ def main(argv=None) -> int:
     size = (x.size // hopsize) * hopsize
     x = x[:size]
 
-    state = init_state(plan)
+    if mesh is not None:
+        from .parallel import sharded_roundtrip, sharded_sdft_hopped
+
+        state = init_state(plan, channels=1)
+        size = (size // block) * block  # whole sharded blocks only
+        x = x[:size]
+    else:
+        state = init_state(plan)
     ys = []
     hop_dfts = []
     progress = 0
@@ -70,8 +100,13 @@ def main(argv=None) -> int:
         # from the hopped analysis — skipped spectra are never computed —
         # and the synthesized samples from the collapsed round trip; both
         # read the same in-state, and the round trip's out-state carries on.
-        _, hdfts = sdft_hopped(plan, state, blk, hopsize)
-        state, y = roundtrip(plan, state, blk)
+        if mesh is not None:
+            _, hdfts = sharded_sdft_hopped(plan, mesh, state, blk[None], hopsize)
+            state, y = sharded_roundtrip(plan, mesh, state, blk[None])
+            hdfts, y = hdfts[0], y[0]
+        else:
+            _, hdfts = sdft_hopped(plan, state, blk, hopsize)
+            state, y = roundtrip(plan, state, blk)
         ys.append(np.asarray(y))
         hop_dfts.append(to_complex(np.asarray(hdfts)))
         percent = min(i + block, size) / size

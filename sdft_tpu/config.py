@@ -42,9 +42,13 @@ class Precision:
     td: str = "float32"
     fd: str = "float64"
     #: MXU accumulation mode for float32 contractions: "highest" is exact
-    #: f32 (6 bf16 passes on TPU), "high" is the 3-pass bf16 split (~2x the
-    #: GEMM throughput, ~1e-8-relative rounding — still orders under the
-    #: reference 1e-7 DFT gate; see tests/test_tpu.py).  Ignored for f64.
+    #: f32 (6 bf16 passes on TPU); "high" is the 3-pass bf16 split (~2x the
+    #: GEMM throughput).  Measured on the v5e (scripts/exp_prec.py, m=1000,
+    #: reference test.wav): "high" DFT max error ~1.1e-6 — it does NOT meet
+    #: the reference 1e-7 comparator gate, and per-block refresh cannot heal
+    #: it (the rounding is intra-block GEMM error, not carry drift).  Use it
+    #: only for accuracy-tolerant spectrogram/monitoring workloads; "highest"
+    #: (the default) passes the gate.  Ignored for f64.
     mxu: str = "highest"
 
     def __post_init__(self):

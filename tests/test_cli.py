@@ -75,3 +75,30 @@ def test_cli_block_mode_identical(ref, test_wav, tmp_path):
 
     np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-12)
     np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-12)
+
+
+def test_cli_mesh_matches_single_device(test_wav, tmp_path):
+    """--mesh 1x4x2 output equals the single-device driver output on the
+    virtual 8-device mesh (the sharded driver protocol, VERDICT seam
+    test/test.c:69-83)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    x, sr = test_wav
+    src = tmp_path / "src.wav"
+    write_wav(str(src), x[:3200], sr, bits=24)
+
+    m, hop = 64, 100
+    outs = []
+    for extra in ([], ["--mesh", "1x4x2", "--block", "800"]):
+        tag = "mesh" if extra else "one"
+        out_wav = tmp_path / f"{tag}.wav"
+        out_dft = tmp_path / f"{tag}.dft"
+        rc = cli_main([str(m), str(hop), "hann", "1", str(src),
+                       str(out_wav), str(out_dft)] + extra)
+        assert rc == 0
+        outs.append((read_wav(str(out_wav))[0], load_complex(str(out_dft), m)))
+
+    np.testing.assert_allclose(outs[1][0], outs[0][0], atol=1e-12)
+    np.testing.assert_allclose(outs[1][1], outs[0][1], atol=1e-12)
