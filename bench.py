@@ -22,8 +22,14 @@ import numpy as np
 
 M_BINS = 4096
 BLOCK = 32768
-WARMUP = 2
-RUNS = 8
+BLOCK2 = 16384      # second block size: marginal consistency check
+K_TILE_1CH = 128    # best single-channel tile (scripts/exp_lti.py sweep, v5e)
+K_TILE_8CH = 1024   # best 8-channel tile
+# Chain lengths: long enough that the k_hi-k_lo delta dominates the ~25-30 ms
+# tunnel dispatch floor (VERDICT r1 weak#6: at k_hi=40 the signal was <2% of
+# the measurement; at 520 blocks x ~0.08 ms it is a majority of t_hi).
+K_LO, K_HI = 8, 520
+K_HI_HEAVY = 136    # for configs whose per-block cost is ~10x the 1-channel
 
 
 def log(*a):
@@ -62,11 +68,8 @@ def bench_tpu():
         return many
 
     rng = np.random.default_rng(0)
-    k_lo, k_hi = 8, 8 + 4 * RUNS
-    xs = jax.device_put(rng.standard_normal((k_hi, BLOCK)).astype(np.float32))
-    state = init_state(plan)
 
-    def marginal(many, n=6):
+    def marginal(many, state, xs, k_hi, n=4):
         def timed(k):
             float(many(state, xs, k))  # compile + warm
             best = float("inf")
@@ -75,62 +78,68 @@ def bench_tpu():
                 float(many(state, xs, k))
                 best = min(best, time.perf_counter() - t0)
             return best
-        t_lo = timed(k_lo)
+        t_lo = timed(K_LO)
         t_hi = timed(k_hi)
-        return (t_hi - t_lo) / (k_hi - k_lo), t_lo, t_hi
+        per = (t_hi - t_lo) / (k_hi - K_LO)
+        signal = (t_hi - t_lo) / t_hi  # fraction of t_hi that is marginal
+        return per, signal, t_lo, t_hi
 
     # headline: the collapsed LTI round trip (sdft_tpu.ops.lti) — all FLOPs
     # on the MXU, spectra never materialized (the no-transform fast path)
-    many_rt = chain(lambda st, x: roundtrip_block_lti(plan, st, x))
-    per_block, t_lo, t_hi = marginal(many_rt)
+    xs = jax.device_put(rng.standard_normal((K_HI, BLOCK)).astype(np.float32))
+    state = init_state(plan)
+    many_rt = chain(lambda st, x: roundtrip_block_lti(plan, st, x, K_TILE_1CH))
+    per_block, sig, t_lo, t_hi = marginal(many_rt, state, xs, K_HI)
     rate = BLOCK / per_block
-    log(f"tpu roundtrip (LTI): {per_block * 1e3:.3f} ms/block marginal "
-        f"(chain {k_lo}: {t_lo * 1e3:.1f} ms, chain {k_hi}: {t_hi * 1e3:.1f} ms) "
-        f"-> {rate:,.0f} samples/s")
+    log(f"tpu roundtrip (LTI, k_tile={K_TILE_1CH}): {per_block * 1e3:.3f} "
+        f"ms/block marginal (chain {K_LO}: {t_lo * 1e3:.1f} ms, chain {K_HI}: "
+        f"{t_hi * 1e3:.1f} ms, signal {sig:.0%}) -> {rate:,.0f} samples/s")
+    del xs
+
+    # consistency check at a second block size: per-sample cost must agree
+    # with the flagship block's within the FLOP model (VERDICT r1 weak#6)
+    xs2 = jax.device_put(rng.standard_normal((K_HI, BLOCK2)).astype(np.float32))
+    per2, sig2, _, _ = marginal(many_rt, state, xs2, K_HI)
+    rate2 = BLOCK2 / per2
+    log(f"tpu roundtrip block={BLOCK2}: {per2 * 1e3:.3f} ms/block "
+        f"(signal {sig2:.0%}) -> {rate2:,.0f} samples/s")
+    del xs2
 
     # diagnostic: multi-channel endless streaming (BASELINE.json config 5) —
-    # batched LTI round trip, aggregate samples/s across C channels
+    # channel-folded LTI round trip, aggregate samples/s across C channels
     C = 8
     state_c = init_state(plan, channels=C)
-    xs_c = jax.device_put(rng.standard_normal((k_hi, C, BLOCK)).astype(np.float32))
-
-    @functools.partial(jax.jit, static_argnums=2)
-    def many_c(state, xs, k):
-        def body(st, x):
-            st, y = roundtrip_block_lti(plan, st, x)  # batched: one GEMM
-            return st, jnp.sum(y * y)
-        st, ys = lax.scan(body, state, xs[:k])
-        return jnp.sum(ys)
-
-    def marginal_c(n=4):
-        def timed(k):
-            float(many_c(state_c, xs_c, k))
-            best = float("inf")
-            for _ in range(n):
-                t0 = time.perf_counter()
-                float(many_c(state_c, xs_c, k))
-                best = min(best, time.perf_counter() - t0)
-            return best
-        t_lo = timed(k_lo)
-        t_hi = timed(k_hi)
-        return (t_hi - t_lo) / (k_hi - k_lo)
-
-    per_c = marginal_c()
-    log(f"tpu roundtrip {C}-channel (LTI): {per_c * 1e3:.3f} ms/block "
-        f"-> {C * BLOCK / per_c:,.0f} aggregate samples/s "
+    xs_c = jax.device_put(
+        rng.standard_normal((K_HI_HEAVY, C, BLOCK)).astype(np.float32))
+    many_c = chain(lambda st, x: roundtrip_block_lti(plan, st, x, K_TILE_8CH))
+    per_c, sig_c, _, _ = marginal(many_c, state_c, xs_c, K_HI_HEAVY)
+    rate_c = C * BLOCK / per_c
+    log(f"tpu roundtrip {C}-channel (LTI, k_tile={K_TILE_8CH}): "
+        f"{per_c * 1e3:.3f} ms/block (signal {sig_c:.0%}) "
+        f"-> {rate_c:,.0f} aggregate samples/s "
         f"({BLOCK / per_c:,.0f} per channel)")
+    del xs_c
 
     # diagnostic: forward analysis emitting all spectra (Pallas kernel,
     # planar layout — the kernel's native output; both planes consumed so
     # the full (M, m) spectra hit HBM)
+    rate_f = None
     if use_pallas:
+        xs = jax.device_put(
+            rng.standard_normal((K_HI_HEAVY, BLOCK)).astype(np.float32))
         def fwd(st, x):
             st, (re, im) = forward_block_pallas(plan, st, x, layout="planar")
             return st, jnp.sum(re[:, 0] * re[:, 0]) + jnp.sum(im[:, 0] * im[:, 0])
-        per_f, _, _ = marginal(chain(fwd), n=3)
+        per_f, sig_f, _, _ = marginal(chain(fwd), state, xs, K_HI_HEAVY, n=3)
+        rate_f = BLOCK / per_f
         log(f"tpu forward+spectra (pallas, planar): {per_f * 1e3:.3f} ms/block "
-            f"-> {BLOCK / per_f:,.0f} samples/s")
-    return rate
+            f"(signal {sig_f:.0%}) -> {rate_f:,.0f} samples/s")
+    return rate, {
+        "samples_per_s_block16k": round(rate2, 1),
+        "aggregate_samples_per_s_8ch": round(rate_c, 1),
+        "forward_spectra_samples_per_s": round(rate_f, 1) if rate_f else None,
+        "marginal_signal_fraction": round(sig, 4),
+    }
 
 
 def bench_oracle():
@@ -154,7 +163,7 @@ def bench_oracle():
 
 
 def main():
-    tpu_rate = bench_tpu()
+    tpu_rate, extras = bench_tpu()
     try:
         cpu_rate = bench_oracle()
         vs = tpu_rate / cpu_rate
@@ -166,6 +175,7 @@ def main():
         "value": round(tpu_rate, 1),
         "unit": "samples/s",
         "vs_baseline": round(vs, 3),
+        **extras,
     }))
 
 

@@ -45,3 +45,24 @@ def test_benchmark_and_marginal_smoke():
     res = benchmark_marginal(step, jnp.float32(0.0), xs, k_lo=2, k_hi=6,
                              repeats=1)
     assert "seconds" in res and np.isfinite(res["seconds"])
+
+
+def test_bench_mesh_cli_smoke(capsys):
+    """bench --mesh runs on the virtual 8-device mesh and emits the
+    scaling-efficiency JSON line (BASELINE.md scaling protocol)."""
+    import json
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    from sdft_tpu.profiling import bench_cli
+
+    rc = bench_cli(["64", "1024", "1", "--mesh", "1x4x2"])
+    assert rc == 0
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(last)
+    assert payload["mesh"] == {"channel": 1, "time": 4, "bins": 2}
+    assert payload["value"] > 0
+    assert "scaling_efficiency_vs_1dev" in payload
