@@ -33,21 +33,32 @@ from .plan import Plan
 from .state import State
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _sdft_1d(plan: Plan, state: State, samples: jax.Array, layout: str):
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _sdft_1d(plan: Plan, state: State, samples: jax.Array, layout: str,
+             spectra_dtype: str | None):
     st, d = sdft_block(plan, state, samples)
-    return (st, (d[..., 0], d[..., 1])) if layout == "planar" else (st, d)
+    if layout != "planar":
+        return st, d
+    re, im = d[..., 0], d[..., 1]
+    if spectra_dtype:
+        re, im = re.astype(spectra_dtype), im.astype(spectra_dtype)
+    return st, (re, im)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _sdft_2d(plan: Plan, state: State, samples: jax.Array, layout: str):
-    return jax.vmap(lambda st, x: _sdft_1d(plan, st, x, layout))(state, samples)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _sdft_2d_pallas(plan: Plan, state: State, samples: jax.Array, layout: str):
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _sdft_2d(plan: Plan, state: State, samples: jax.Array, layout: str,
+             spectra_dtype: str | None):
     return jax.vmap(
-        lambda st, x: forward_block_pallas(plan, st, x, layout=layout)
+        lambda st, x: _sdft_1d(plan, st, x, layout, spectra_dtype)
+    )(state, samples)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _sdft_2d_pallas(plan: Plan, state: State, samples: jax.Array, layout: str,
+                    spectra_dtype: str | None):
+    return jax.vmap(
+        lambda st, x: forward_block_pallas(plan, st, x, layout=layout,
+                                           out_dtype=spectra_dtype)
     )(state, samples)
 
 
@@ -60,8 +71,8 @@ def _isdft(plan: Plan, dfts: jax.Array):
     return isdft_block(plan, dfts)
 
 
-def sdft(plan: Plan, state: State, samples, layout: str = "packed"
-         ) -> tuple[State, jax.Array]:
+def sdft(plan: Plan, state: State, samples, layout: str = "packed",
+         spectra_dtype: str | None = None) -> tuple[State, jax.Array]:
     """Forward analysis: estimate one spectrum per input sample.
 
     Args:
@@ -73,6 +84,11 @@ def sdft(plan: Plan, state: State, samples, layout: str = "packed"
         kernel's native output, saving one full read+write of the spectra
         (at m=4096 the spectra are ~32 kB per input sample, so that pass is
         the dominant cost).  Use planar for magnitude/spectrogram pipelines.
+      spectra_dtype: optional narrower element type for the emitted planes
+        (planar only), e.g. "bfloat16" — halves the O(M*m) spectra write,
+        the forward path's HBM roofline.  The scan itself stays in the
+        plan's FD precision; only the output rounds.  Not for paths that
+        re-synthesize (isdft) with parity requirements.
 
     Returns:
       (new_state, dfts) with dfts packed (M, m, 2) / (C, M, m, 2), or the
@@ -80,15 +96,18 @@ def sdft(plan: Plan, state: State, samples, layout: str = "packed"
     """
     if layout not in ("packed", "planar"):
         raise ValueError(f"layout must be 'packed' or 'planar', got {layout!r}")
+    if spectra_dtype and layout != "planar":
+        raise ValueError("spectra_dtype requires layout='planar'")
     samples = jnp.asarray(samples)
     if samples.ndim == 1:
         if _use_pallas(plan, samples.shape[-1]):
-            return forward_block_pallas(plan, state, samples, layout=layout)
-        return _sdft_1d(plan, state, samples, layout)
+            return forward_block_pallas(plan, state, samples, layout=layout,
+                                        out_dtype=spectra_dtype)
+        return _sdft_1d(plan, state, samples, layout, spectra_dtype)
     if samples.ndim == 2:
         if _use_pallas(plan, samples.shape[-1]):
-            return _sdft_2d_pallas(plan, state, samples, layout)
-        return _sdft_2d(plan, state, samples, layout)
+            return _sdft_2d_pallas(plan, state, samples, layout, spectra_dtype)
+        return _sdft_2d(plan, state, samples, layout, spectra_dtype)
     raise ValueError(f"samples must be (M,) or (C, M), got {samples.shape}")
 
 

@@ -239,8 +239,8 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
     out_im = conv(aux_im)
 
     if emit_dfts:
-        dft_re_ref[:] = out_re
-        dft_im_ref[:] = out_im
+        dft_re_ref[:] = out_re.astype(dft_re_ref.dtype)
+        dft_im_ref[:] = out_im.astype(dft_im_ref.dtype)
     if emit_y:
         # synthesis matvec on the MXU: y = 2 * (Re(dft).Re(s) - Im(dft).Im(s))
         s_re = synth_ref[0:1, PAD:PAD + m]
@@ -256,10 +256,11 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
             np.float32(plan.synthesis_weight) * y)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9))
 def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
             interpret: bool = False, cumsum_mode: str = "mxu2",
-            tile_k: int = TILE_K, layout: str = "packed"):
+            tile_k: int = TILE_K, layout: str = "packed",
+            out_dtype: str | None = None):
     m = plan.dftsize
     n2 = 2 * m
     W = m + 2 * PAD
@@ -291,10 +292,16 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
 
     offset = jnp.mod(state.offset.astype(jnp.int32), n2).reshape(1, 1)
 
+    # spectra element type: float32 (parity default) or bfloat16 — halving
+    # the O(M*m) HBM write, the dominant cost of the forward path (the
+    # spectra are consumed as log-magnitude spectrograms far more often than
+    # re-synthesized; bf16's ~3 decimal digits are transparent there)
+    odt = jnp.dtype(out_dtype) if out_dtype else jnp.float32
+
     out_shapes = []
     out_specs = []
     if emit_dfts:
-        out_shapes += [jax.ShapeDtypeStruct((M, m), jnp.float32)] * 2
+        out_shapes += [jax.ShapeDtypeStruct((M, m), odt)] * 2
         out_specs += [pl.BlockSpec((tile_k, m), lambda t: (t, 0),
                                    memory_space=pltpu.VMEM)] * 2
     if emit_y:
@@ -305,6 +312,10 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
     out_shapes += [jax.ShapeDtypeStruct((2, W), jnp.float32)]
     out_specs += [pl.BlockSpec((2, W), lambda t: (0, 0),
                                memory_space=pltpu.VMEM)]
+
+    if odt != jnp.float32 and layout != "planar":
+        raise ValueError("non-f32 spectra require layout='planar' (packing "
+                         "would re-read the spectra and defeat the purpose)")
 
     kernel = functools.partial(_kernel, plan=plan, emit_dfts=emit_dfts,
                                emit_y=emit_y, cumsum_mode=cumsum_mode,
@@ -361,16 +372,20 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
 
 
 def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
-                         cumsum_mode="mxu2", tile_k=TILE_K, layout="packed"):
+                         cumsum_mode="mxu2", tile_k=TILE_K, layout="packed",
+                         out_dtype=None):
     """Fused forward analysis.
 
     Returns (state, dfts) with dfts packed (M, m, 2), or — with
     ``layout="planar"`` — a (re, im) pair of (M, m) arrays, the kernel's
     native output with no interleaving pass (the fast path for
     magnitude/spectrogram consumers that read the planes independently).
+    ``out_dtype="bfloat16"`` (planar only) additionally halves the O(M*m)
+    spectra write — the forward path's roofline; the internal scan stays
+    exact f32, only the emitted planes are rounded.
     """
     new_state, dfts, _ = _launch(plan, state, samples, True, False, interpret,
-                                 cumsum_mode, tile_k, layout)
+                                 cumsum_mode, tile_k, layout, out_dtype)
     return new_state, dfts
 
 

@@ -140,3 +140,39 @@ def test_plan_supported_gates():
     assert not plan_supported(Plan(256), 64)                    # f64 fd
     assert not plan_supported(Plan(256, precision=F32), 100)    # M % TILE_K
     assert plan_supported(Plan(4096, precision=F32), 16384)
+
+
+def test_bf16_spectra_output():
+    """spectra_dtype="bfloat16" emits bf16 planes that round the f32 result
+    (the half-HBM-write fast path), on the kernel and the XLA fallback."""
+    import jax.numpy as jnp
+
+    m = 256
+    M = 2 * 128
+    x = _signal(M, seed=5)
+    plan = Plan(m, precision=F32)
+    state = init_state(plan)
+
+    st32, (re32, im32) = forward_block_pallas(plan, state, x, interpret=True,
+                                              layout="planar")
+    st16, (re16, im16) = forward_block_pallas(plan, state, x, interpret=True,
+                                              layout="planar",
+                                              out_dtype="bfloat16")
+    assert re16.dtype == jnp.bfloat16 and im16.dtype == jnp.bfloat16
+    # the scan stays f32: bf16 output equals the rounded f32 planes exactly
+    np.testing.assert_array_equal(
+        np.asarray(re16), np.asarray(np.asarray(re32).astype(jnp.bfloat16)))
+    np.testing.assert_array_equal(np.asarray(st16.accumulator),
+                                  np.asarray(st32.accumulator))
+
+    # packed layout would re-read the spectra; rejected
+    with pytest.raises(ValueError, match="planar"):
+        forward_block_pallas(plan, state, x, interpret=True,
+                             out_dtype="bfloat16")
+
+    # XLA fallback via the public API
+    _, (re_a, im_a) = sdft(plan, state, x, layout="planar",
+                           spectra_dtype="bfloat16")
+    assert re_a.dtype == jnp.bfloat16
+    with pytest.raises(ValueError, match="planar"):
+        sdft(plan, state, x, spectra_dtype="bfloat16")
