@@ -74,7 +74,11 @@ def main():
               f"{floor / per:5.1%} of write roofline -> "
               f"{block / per:,.0f} samples/s", flush=True)
 
-    for tile_k in (128, 256, 512):
+    # tile_k 512 is omitted: Mosaic's register allocator spills ~66 MB of
+    # (K, W) temporaries at that size and the program exceeds the 128 MB
+    # vmem budget (measured 2026-08; 256 already regresses 2.5x vs 128 for
+    # the same reason).  128 is the sweet spot on v5e.
+    for tile_k in (128, 256):
         for mode in ("mxu2", "vpu"):
             if block % tile_k:
                 continue

@@ -199,15 +199,20 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
     aux_re = u_re * dmf_re[:] - u_im * dmf_im[:]
     aux_im = u_re * dmf_im[:] + u_im * dmf_re[:]
 
+    # Hermitian edge guards (c/src/sdft/sdft.h:589-595): bins -g <-
+    # conj(bin g) and bins (m-1)+g <- conj(bin (m-1)-g).  The DC-side guard
+    # holds identically in this kernel: for real delta the exact
+    # integer-exponent phases give T_{-g}^e = conj(T_g^e), so every left pad
+    # column already equals the conjugate of its mirror — only the top edge
+    # (mirror around m-1, which differs from the spectrum's natural
+    # 2m-periodic conjugate mirror around m) deviates.  The spectra-only
+    # path handles it AFTER the guard-free convolution by overwriting the
+    # top `halo` output columns (a (K, 1)-sized fix) instead of masking the
+    # full (K, W) aux planes — the masked-write form costs ~2 VPU ops per
+    # element per guard on the kernel's bottleneck unit.
     halo = WINDOW_HALO[plan.window]
-    if halo > 0:
-        # Hermitian edge guards (c/src/sdft/sdft.h:589-595): bins -g <-
-        # conj(bin g) and bins (m-1)+g <- conj(bin (m-1)-g).  The DC-side
-        # guard holds identically in this kernel: for real delta the exact
-        # integer-exponent phases give T_{-g}^e = conj(T_g^e), so every left
-        # pad column already equals the conjugate of its mirror — only the
-        # top edge (mirror around m-1, which differs from the spectrum's
-        # natural 2m-periodic conjugate mirror around m) needs a write.
+    guard_free = emit_dfts and not emit_y
+    if halo > 0 and not guard_free:
         cols = lax.broadcasted_iota(jnp.int32, (K, W), 1)
 
         def put_guard(a_re, a_im, dst, src):
@@ -221,19 +226,19 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
             aux_re, aux_im = put_guard(aux_re, aux_im, PAD + m - 1 + g,
                                        PAD + m - 1 - g)
 
-    # frequency-domain window convolution, weight folded into taps
-    c0, c1, c2 = WINDOW_TAPS[plan.window]
-    wgt = np.float32(plan.analysis_weight)
+    # frequency-domain window convolution, analysis weight folded into taps
+    wgt = plan.analysis_weight
+    c0, c1, c2 = (np.float32(c * wgt) for c in WINDOW_TAPS[plan.window])
 
     def conv(a):
-        out = np.float32(c0) * a[:, PAD:PAD + m]
+        out = c0 * a[:, PAD:PAD + m]
         if halo >= 1:
-            out = out + np.float32(c1) * (a[:, PAD - 1:PAD + m - 1]
-                                          + a[:, PAD + 1:PAD + m + 1])
+            out = out + c1 * (a[:, PAD - 1:PAD + m - 1]
+                              + a[:, PAD + 1:PAD + m + 1])
         if halo >= 2:
-            out = out + np.float32(c2) * (a[:, PAD - 2:PAD + m - 2]
-                                          + a[:, PAD + 2:PAD + m + 2])
-        return out * wgt
+            out = out + c2 * (a[:, PAD - 2:PAD + m - 2]
+                              + a[:, PAD + 2:PAD + m + 2])
+        return out
 
     out_re = conv(aux_re)
     out_im = conv(aux_im)
@@ -241,6 +246,35 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
     if emit_dfts:
         dft_re_ref[:] = out_re.astype(dft_re_ref.dtype)
         dft_im_ref[:] = out_im.astype(dft_im_ref.dtype)
+        if guard_free and halo > 0:
+            # top-edge guard as column rewrites; with A = aux, the guarded
+            # convolution at the top bins expands to (guard col m-1+g holds
+            # conj(A[m-1-g])):
+            #   halo 1: out[m-1] = c0 A[m-1] + c1 (A[m-2] + conj(A[m-2]))
+            #   halo 2: out[m-2] = c0 A[m-2] + c1 (A[m-3] + A[m-1])
+            #                      + c2 (A[m-4] + conj(A[m-2]))
+            #           out[m-1] = c0 A[m-1] + c1 (A[m-2] + conj(A[m-2]))
+            #                      + c2 (A[m-3] + conj(A[m-3]))
+            def acol(g):  # aux column for bin m-1-g, (K, 1) slices
+                j = PAD + m - 1 - g
+                return aux_re[:, j:j + 1], aux_im[:, j:j + 1]
+
+            a0r, a0i = acol(0)
+            a1r, a1i = acol(1)
+            if halo == 1:
+                fr = c0 * a0r + 2 * c1 * a1r
+                fi = c0 * a0i
+            else:
+                a2r, a2i = acol(2)
+                a3r, a3i = acol(3)
+                fr = c0 * a0r + 2 * c1 * a1r + 2 * c2 * a2r
+                fi = c0 * a0i
+                gr = c0 * a1r + c1 * (a2r + a0r) + c2 * (a3r + a1r)
+                gi = c0 * a1i + c1 * (a2i + a0i) + c2 * (a3i - a1i)
+                dft_re_ref[:, m - 2:m - 1] = gr.astype(dft_re_ref.dtype)
+                dft_im_ref[:, m - 2:m - 1] = gi.astype(dft_im_ref.dtype)
+            dft_re_ref[:, m - 1:m] = fr.astype(dft_re_ref.dtype)
+            dft_im_ref[:, m - 1:m] = fi.astype(dft_im_ref.dtype)
     if emit_y:
         # synthesis matvec on the MXU: y = 2 * (Re(dft).Re(s) - Im(dft).Im(s))
         s_re = synth_ref[0:1, PAD:PAD + m]

@@ -41,9 +41,9 @@ class Streamer:
             sharded or Pallas variants with plan/mesh already bound);
             default to the single-device jitted ops.
           refresh_every: if set, exactly rebuild the accumulator from the
-            delayline every N blocks (api.refresh) — one MXU matvec that
-            resets the f32 rounding drift of endless streams to zero
-            (SURVEY.md §7 hard part (b)).  None disables.
+            delayline every N blocks (api.refresh) — two real MXU matvecs
+            (re/im) that reset the f32 rounding drift of endless streams to
+            zero (SURVEY.md §7 hard part (b)).  None disables.
         """
         self.plan = plan
         self.channels = channels
@@ -76,32 +76,50 @@ class Streamer:
         """Inverse-transform one block of spectra."""
         return self._inverse(dfts)
 
-    def roundtrip(self, block) -> jax.Array:
-        """Analyze + synthesize one block without materializing spectra."""
-        self.state, y = _roundtrip(self.plan, self.state, block)
+    def roundtrip(self, block, transform: Callable | None = None) -> jax.Array:
+        """Analyze + synthesize one block.
+
+        Without ``transform`` the spectra are never materialized (collapsed
+        LTI path).  With a traceable ``transform`` (complex spectra -> same
+        shape) the transform runs *inside* the jitted program
+        (api.roundtrip); define it once so the jit cache hits.
+        """
+        self.state, y = _roundtrip(self.plan, self.state, block, transform)
         self.samples_processed += np.shape(block)[-1]
         self._maybe_refresh()
         return y
 
     def run(self, blocks: Iterable, transform: Callable | None = None,
-            ) -> Iterator[np.ndarray]:
+            fuse_transform: bool = False) -> Iterator[np.ndarray]:
         """Round-trip a stream of blocks with double buffering.
 
         Args:
           blocks: iterable of (M,) / (C, M) sample blocks.
-          transform: optional spectral-domain callback dfts -> dfts (e.g.
-            filtering, pitch shifting) applied between analysis and synthesis.
+          transform: optional spectral-domain callback applied between
+            analysis and synthesis (e.g. filtering, pitch shifting).  By
+            default it receives the *packed* (..., m, 2) device spectra of
+            each block (host-side flexibility).  With ``fuse_transform`` it
+            must instead be a jax-traceable pure function on *complex*
+            (..., M, m) spectra.
+          fuse_transform: run the transform inside the jitted round-trip
+            program (api.roundtrip(transform=...)) — no spectra round trip
+            through HBM-sized buffers at the jit boundary, and XLA fuses
+            elementwise transforms into the synthesis matvec.  Requires the
+            default forward/inverse ops.
 
         Yields:
           synthesized sample blocks as numpy arrays, one per input block.
         """
+        if fuse_transform and (transform is None or not self._fused_roundtrip):
+            raise ValueError("fuse_transform needs a transform and the "
+                             "default forward/inverse ops")
         pending = None  # device array not yet synced to host
         for block in blocks:
             # Stage the next block onto the device; dispatch is async so this
             # overlaps with any in-flight compute.
             staged = jax.device_put(np.asarray(block))
-            if transform is None and self._fused_roundtrip:
-                y = self.roundtrip(staged)
+            if self._fused_roundtrip and (transform is None or fuse_transform):
+                y = self.roundtrip(staged, transform)
             else:
                 dfts = self.process(staged)
                 if transform is not None:

@@ -72,3 +72,42 @@ def test_iter_blocks_pad_and_truncate():
     padded = list(iter_blocks(x, 4, pad=True))
     assert [b.shape[-1] for b in padded] == [4, 4, 4]
     np.testing.assert_array_equal(padded[-1], [8, 9, 0, 0])
+
+
+def test_streamer_fused_transform_matches_host_transform():
+    """run(fuse_transform=True) with an in-jit complex transform equals the
+    host-side packed-transform path."""
+    import numpy as np
+
+    from sdft_tpu.cplx import to_complex, from_complex
+
+    m = 32
+    plan = Plan(m, window="hann")
+    rng = np.random.default_rng(19)
+    x = (rng.standard_normal(8 * m) * 0.25).clip(-1, 1)
+    blocks = [x[i:i + 2 * m] for i in range(0, x.size, 2 * m)]
+    mask = (np.arange(m) < m // 2).astype(np.float64)
+
+    def fused(z):  # complex (M, m) inside jit
+        return z * mask
+
+    def hosty(d):  # packed (M, m, 2) at the boundary
+        return from_complex(to_complex(np.asarray(d)) * mask)
+
+    s1 = Streamer(plan)
+    got = np.concatenate(list(s1.run(blocks, transform=fused,
+                                     fuse_transform=True)))
+    s2 = Streamer(plan)
+    want = np.concatenate(list(s2.run(blocks, transform=hosty)))
+    np.testing.assert_allclose(got, want, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s1.state.accumulator),
+                               np.asarray(s2.state.accumulator), atol=1e-12)
+
+
+def test_streamer_fused_transform_requires_default_ops():
+    import pytest
+
+    plan = Plan(16)
+    s = Streamer(plan)
+    with pytest.raises(ValueError, match="fuse_transform"):
+        list(s.run([np.zeros(32)], fuse_transform=True))
