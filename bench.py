@@ -67,7 +67,11 @@ def bench_tpu():
             return jnp.sum(ys)
         return many
 
-    rng = np.random.default_rng(0)
+    def randn(shape):
+        # generate bench data ON DEVICE: a (520, 32768) host array is ~68 MB
+        # and the hosted TPU tunnel can take minutes to device_put it
+        import jax.random as jr
+        return jax.jit(lambda: jr.normal(jr.key(0), shape, jnp.float32))()
 
     def marginal(many, state, xs, k_hi, n=4):
         def timed(k):
@@ -86,7 +90,7 @@ def bench_tpu():
 
     # headline: the collapsed LTI round trip (sdft_tpu.ops.lti) — all FLOPs
     # on the MXU, spectra never materialized (the no-transform fast path)
-    xs = jax.device_put(rng.standard_normal((K_HI, BLOCK)).astype(np.float32))
+    xs = randn((K_HI, BLOCK))
     state = init_state(plan)
     many_rt = chain(lambda st, x: roundtrip_block_lti(plan, st, x, K_TILE_1CH))
     per_block, sig, t_lo, t_hi = marginal(many_rt, state, xs, K_HI)
@@ -98,7 +102,7 @@ def bench_tpu():
 
     # consistency check at a second block size: per-sample cost must agree
     # with the flagship block's within the FLOP model (VERDICT r1 weak#6)
-    xs2 = jax.device_put(rng.standard_normal((K_HI, BLOCK2)).astype(np.float32))
+    xs2 = randn((K_HI, BLOCK2))
     per2, sig2, _, _ = marginal(many_rt, state, xs2, K_HI)
     rate2 = BLOCK2 / per2
     log(f"tpu roundtrip block={BLOCK2}: {per2 * 1e3:.3f} ms/block "
@@ -109,8 +113,7 @@ def bench_tpu():
     # channel-folded LTI round trip, aggregate samples/s across C channels
     C = 8
     state_c = init_state(plan, channels=C)
-    xs_c = jax.device_put(
-        rng.standard_normal((K_HI_HEAVY, C, BLOCK)).astype(np.float32))
+    xs_c = randn((K_HI_HEAVY, C, BLOCK))
     many_c = chain(lambda st, x: roundtrip_block_lti(plan, st, x, K_TILE_8CH))
     per_c, sig_c, _, _ = marginal(many_c, state_c, xs_c, K_HI_HEAVY)
     rate_c = C * BLOCK / per_c
@@ -125,8 +128,7 @@ def bench_tpu():
     # the full (M, m) spectra hit HBM)
     rate_f = None
     if use_pallas:
-        xs = jax.device_put(
-            rng.standard_normal((K_HI_HEAVY, BLOCK)).astype(np.float32))
+        xs = randn((K_HI_HEAVY, BLOCK))
         def fwd(st, x):
             st, (re, im) = forward_block_pallas(plan, st, x, layout="planar")
             return st, jnp.sum(re[:, 0] * re[:, 0]) + jnp.sum(im[:, 0] * im[:, 0])
