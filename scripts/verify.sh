@@ -48,5 +48,6 @@ fi
 echo "== examples =="
 python examples/latency.py
 python examples/stft_window_test.py
+python examples/transform.py
 
 echo "verify OK"
