@@ -198,8 +198,15 @@ def benchmark_marginal(step, state, xs, *, k_lo: int = 4, k_hi: int = 12,
 
     t_lo, t_hi = timed(k_lo), timed(k_hi)
     per_step = (t_hi - t_lo) / (k_hi - k_lo)
-    out = {"seconds": per_step, "chain_lo_seconds": t_lo,
-           "chain_hi_seconds": t_hi}
+    out = {"chain_lo_seconds": t_lo, "chain_hi_seconds": t_hi}
+    if per_step <= 0:
+        # Noise swamped the marginal (tiny problems on a loaded host can
+        # time the long chain faster than the short one).  Fall back to the
+        # amortized per-step cost of the long chain — a valid upper bound
+        # that keeps derived throughputs finite and positive.
+        per_step = t_hi / k_hi
+        out["marginal_noise_floor"] = True
+    out["seconds"] = per_step
     if cost is not None:
         _add_roofline(out, cost, per_step)
     return out
