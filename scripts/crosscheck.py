@@ -46,7 +46,7 @@ from sdft_tpu.cli import main as cli_main           # noqa: E402
 from sdft_tpu.compat import STFT                    # noqa: E402
 from sdft_tpu.io.dump import load_complex           # noqa: E402
 from sdft_tpu.io.wav import read_wav, write_wav     # noqa: E402
-from sdft_tpu.oracle import NativeSDFT              # noqa: E402
+from sdft_tpu.oracle import NativeSDFT, NativeSDFT2  # noqa: E402
 
 
 def main(argv=None):
@@ -104,6 +104,18 @@ def main(argv=None):
             d = eng.sdft(x[h * hopsize:(h + 1) * hopsize])
             dfts_ref[h] = d[0]
             y_ref[h * hopsize:(h + 1) * hopsize] = eng.isdft(d)
+
+        # second native engine: the native<->native leg of the triangle
+        # (mirrors the reference's C<->C++ default-tolerance assert,
+        # test/main.py:78 — two independently written engines, no shared code)
+        print("native engine #2 pass...")
+        eng2 = NativeSDFT2(dftsize, window, latency, td_bits=64)
+        nerr = 0.0
+        for h in range(hops):
+            d2 = eng2.sdft(x[h * hopsize:(h + 1) * hopsize])
+            nerr = max(nerr, float(np.abs(d2[0] - dfts_ref[h]).max()))
+        print(f"native #1 vs #2 dft max abs diff: {nerr:.3e} (tolerance 1e-12)")
+        assert nerr < 1e-12, nerr
 
         dfts_tpu = load_complex(str(out_dft), dftsize)
         y_tpu, _ = read_wav(str(out_wav))

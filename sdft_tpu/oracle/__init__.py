@@ -1,4 +1,4 @@
 from .build import ensure_library
-from .oracle import NativeSDFT
+from .oracle import NativeSDFT, NativeSDFT2
 
-__all__ = ["NativeSDFT", "ensure_library"]
+__all__ = ["NativeSDFT", "NativeSDFT2", "ensure_library"]

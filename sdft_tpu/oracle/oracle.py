@@ -23,39 +23,47 @@ _WINDOW_CODE = {
     Window.BLACKMAN: 3,
 }
 
-_lib = None
+_libs: dict = {}
 
 
-def _load():
-    global _lib
-    if _lib is None:
-        lib = ctypes.CDLL(str(ensure_library()))
-        lib.sdft_oracle_create.restype = ctypes.c_void_p
-        lib.sdft_oracle_create.argtypes = [
-            ctypes.c_int64, ctypes.c_int32, ctypes.c_double, ctypes.c_int32]
-        lib.sdft_oracle_destroy.argtypes = [ctypes.c_void_p]
-        lib.sdft_oracle_reset.argtypes = [ctypes.c_void_p]
-        lib.sdft_oracle_sdft.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
-        lib.sdft_oracle_isdft.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
-        _lib = lib
-    return _lib
+def _load(engine: str, prefix: str):
+    if engine not in _libs:
+        lib = ctypes.CDLL(str(ensure_library(engine)))
+        fns = {}
+        for name, restype, argtypes in [
+            ("create", ctypes.c_void_p,
+             [ctypes.c_int64, ctypes.c_int32, ctypes.c_double, ctypes.c_int32]),
+            ("destroy", None, [ctypes.c_void_p]),
+            ("reset", None, [ctypes.c_void_p]),
+            ("sdft", None,
+             [ctypes.c_void_p, ctypes.c_int64,
+              ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]),
+            ("isdft", None,
+             [ctypes.c_void_p, ctypes.c_int64,
+              ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]),
+        ]:
+            fn = getattr(lib, prefix + name)
+            fn.restype = restype
+            fn.argtypes = argtypes
+            fns[name] = fn
+        _libs[engine] = fns
+    return _libs[engine]
 
 
 class NativeSDFT:
     """Stateful native-engine handle with the reference class API shape."""
 
+    _ENGINE = "native"
+    _PREFIX = "sdft_oracle_"
+
     def __init__(self, dftsize: int, window="hann", latency: float = 1.0,
                  td_bits: int = 32):
         """td_bits=32 matches the reference TD default (float); 64 for all-double."""
-        self._lib = _load()
+        self._fns = _load(self._ENGINE, self._PREFIX)
         self.size = int(dftsize)
         self.window = Window.parse(window)
         self.latency = float(latency)
-        self._h = self._lib.sdft_oracle_create(
+        self._h = self._fns["create"](
             self.size, _WINDOW_CODE[self.window], self.latency, td_bits)
         if not self._h:
             raise ValueError(f"oracle rejected dftsize {dftsize}")
@@ -63,16 +71,16 @@ class NativeSDFT:
     def __del__(self):
         h = getattr(self, "_h", None)
         if h:
-            self._lib.sdft_oracle_destroy(h)
+            self._fns["destroy"](h)
             self._h = None
 
     def reset(self) -> None:
-        self._lib.sdft_oracle_reset(self._h)
+        self._fns["reset"](self._h)
 
     def sdft(self, samples) -> np.ndarray:
         x = np.ascontiguousarray(np.atleast_1d(samples), dtype=np.float64)
         out = np.empty((x.size, self.size), dtype=np.complex128)
-        self._lib.sdft_oracle_sdft(
+        self._fns["sdft"](
             self._h, x.size,
             x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
@@ -83,8 +91,18 @@ class NativeSDFT:
         if d.shape[1] != self.size:
             raise ValueError(f"expected (n, {self.size}), got {d.shape}")
         y = np.empty(d.shape[0], dtype=np.float64)
-        self._lib.sdft_oracle_isdft(
+        self._fns["isdft"](
             self._h, d.shape[0],
             d.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         return y
+
+
+class NativeSDFT2(NativeSDFT):
+    """Second, independently written native engine (C99, bin-major phasor
+    recurrence — sdft_tpu/native/sdft_native2.c).  Same API; exists so the
+    differential triangle has three independent corners like the
+    reference's C <-> C++ <-> Python cross-check (test/main.py:67-79)."""
+
+    _ENGINE = "native2"
+    _PREFIX = "sdft_oracle2_"
