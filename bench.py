@@ -21,14 +21,20 @@ import time
 import numpy as np
 
 M_BINS = 4096
-BLOCK = 32768
-BLOCK2 = 16384      # second block size: marginal consistency check
-K_TILE_1CH = 128    # best single-channel tile (scripts/exp_lti.py sweep, v5e)
+BLOCK = 65536       # flagship block (scripts/exp_block.py sweep, v5e)
+BLOCK2 = 32768      # second block size: marginal consistency check
+BLOCK_8CH = 32768   # multi-channel block
+K_TILE_1CH = 256    # best single-channel tile at BLOCK (nt=256; the nt=128
+                    # XLA cliff is documented in docs/PERF.md)
 K_TILE_8CH = 1024   # best 8-channel tile
 # Chain lengths: long enough that the k_hi-k_lo delta dominates the ~25-30 ms
 # tunnel dispatch floor (VERDICT r1 weak#6: at k_hi=40 the signal was <2% of
 # the measurement; at 520 blocks x ~0.08 ms it is a majority of t_hi).
 K_LO, K_HI = 8, 520
+K_HI_FLAG = 264     # flagship 65536-sample blocks: 256 x ~0.11 ms marginal is
+                    # already >50% of t_hi, and the big-block chain (25 MB of
+                    # plan-constant literals per program) compiles slowly —
+                    # keep the whole bench inside the driver's budget
 K_HI_HEAVY = 136    # for configs whose per-block cost is ~10x the 1-channel
 
 
@@ -90,22 +96,25 @@ def bench_tpu():
 
     # headline: the collapsed LTI round trip (sdft_tpu.ops.lti) — all FLOPs
     # on the MXU, spectra never materialized (the no-transform fast path)
-    xs = randn((K_HI, BLOCK))
+    xs = randn((K_HI_FLAG, BLOCK))
     state = init_state(plan)
     many_rt = chain(lambda st, x: roundtrip_block_lti(plan, st, x, K_TILE_1CH))
-    per_block, sig, t_lo, t_hi = marginal(many_rt, state, xs, K_HI)
+    per_block, sig, t_lo, t_hi = marginal(many_rt, state, xs, K_HI_FLAG)
     rate = BLOCK / per_block
     log(f"tpu roundtrip (LTI, k_tile={K_TILE_1CH}): {per_block * 1e3:.3f} "
-        f"ms/block marginal (chain {K_LO}: {t_lo * 1e3:.1f} ms, chain {K_HI}: "
-        f"{t_hi * 1e3:.1f} ms, signal {sig:.0%}) -> {rate:,.0f} samples/s")
+        f"ms/block marginal (chain {K_LO}: {t_lo * 1e3:.1f} ms, chain "
+        f"{K_HI_FLAG}: {t_hi * 1e3:.1f} ms, signal {sig:.0%}) "
+        f"-> {rate:,.0f} samples/s")
     del xs
 
     # consistency check at a second block size: per-sample cost must agree
-    # with the flagship block's within the FLOP model (VERDICT r1 weak#6)
+    # with the flagship block's within the FLOP model (VERDICT r1 weak#6).
+    # k_tile=None exercises the auto heuristic (ops.lti.default_k_tile).
     xs2 = randn((K_HI, BLOCK2))
-    per2, sig2, _, _ = marginal(many_rt, state, xs2, K_HI)
+    many_rt2 = chain(lambda st, x: roundtrip_block_lti(plan, st, x, None))
+    per2, sig2, _, _ = marginal(many_rt2, state, xs2, K_HI)
     rate2 = BLOCK2 / per2
-    log(f"tpu roundtrip block={BLOCK2}: {per2 * 1e3:.3f} ms/block "
+    log(f"tpu roundtrip block={BLOCK2} (auto k_tile): {per2 * 1e3:.3f} ms/block "
         f"(signal {sig2:.0%}) -> {rate2:,.0f} samples/s")
     del xs2
 
@@ -113,14 +122,14 @@ def bench_tpu():
     # channel-folded LTI round trip, aggregate samples/s across C channels
     C = 8
     state_c = init_state(plan, channels=C)
-    xs_c = randn((K_HI_HEAVY, C, BLOCK))
+    xs_c = randn((K_HI_HEAVY, C, BLOCK_8CH))
     many_c = chain(lambda st, x: roundtrip_block_lti(plan, st, x, K_TILE_8CH))
     per_c, sig_c, _, _ = marginal(many_c, state_c, xs_c, K_HI_HEAVY)
-    rate_c = C * BLOCK / per_c
+    rate_c = C * BLOCK_8CH / per_c
     log(f"tpu roundtrip {C}-channel (LTI, k_tile={K_TILE_8CH}): "
         f"{per_c * 1e3:.3f} ms/block (signal {sig_c:.0%}) "
         f"-> {rate_c:,.0f} aggregate samples/s "
-        f"({BLOCK / per_c:,.0f} per channel)")
+        f"({BLOCK_8CH / per_c:,.0f} per channel)")
     del xs_c
 
     # diagnostic: forward analysis emitting all spectra (Pallas kernel,

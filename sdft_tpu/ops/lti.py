@@ -50,6 +50,21 @@ from ..windows import WINDOW_HALO, WINDOW_TAPS
 K_TILE = 128
 
 
+def default_k_tile(M: int) -> int:
+    """Pick the tile length for a block of M samples.
+
+    Measured on a v5e at m=4096 (scripts/exp_block.py): XLA falls off a
+    3-4x performance cliff whenever the tile count nt = ceil(M/K) equals
+    128 — (16384,128), (32768,256) and (65536,512) all cost ~0.24-0.30
+    ms/block while their nt=64/nt=256 neighbors cost 0.05-0.12 ms.  Away
+    from the cliff, nt=256 wins for blocks >= 32k samples (the VPU
+    elementwise work per tile amortizes best) and nt=64 wins below.
+    """
+    if M >= 32768:
+        return max(128, M // 256)    # nt = 256
+    return max(32, M // 64)          # nt <= 64, never 128
+
+
 @functools.lru_cache(maxsize=None)
 def _fine_host(plan: Plan, K: int):
     """fine[k,j] = T_j^k for k in [0,K), exact integer phases (numpy f64)."""
@@ -148,11 +163,12 @@ def roundtrip_block_lti(plan: Plan, state: State, samples: jnp.ndarray,
         channel-batched form with a leading (C,) axis on every leaf.
       samples: (M,) or (C, M) real samples, any M (internally zero-padded to
         tiles; zero deltas do not perturb the carry).
-      k_tile: samples per tile (static; default K_TILE).  Larger tiles put
-        more of the work on the MXU — the per-element VPU work (phase
-        rotations, cumsum, row0 trig) scales with nt = M/k_tile while the
-        MXU FLOPs are k_tile-invariant — at the cost of larger (K, m)
-        constant tables.
+      k_tile: samples per tile (static; default: ``default_k_tile(M)``,
+        which avoids the measured nt=128 XLA performance cliff).  Larger
+        tiles put more of the work on the MXU — the per-element VPU work
+        (phase rotations, cumsum, row0 trig) scales with nt = M/k_tile
+        while the MXU FLOPs are k_tile-invariant — at the cost of larger
+        (K, m) constant tables.
 
     Returns:
       (new_state, y) with y (M,) / (C, M) in TD precision — equal to
@@ -202,7 +218,7 @@ def _roundtrip_nd(plan: Plan, state: State, samples: jnp.ndarray,
     td = plan.precision.td_dtype
     fd = plan.precision.fd_dtype
     C, M = samples.shape
-    K = k_tile or K_TILE
+    K = k_tile or default_k_tile(M)
     nt = -(-M // K)
     Mp = nt * K
 
