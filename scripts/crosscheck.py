@@ -133,12 +133,17 @@ def main(argv=None):
         assert derr < dft_tol, derr
         assert yerr < wav_tol, yerr
 
-        # cross-algorithm sanity vs FFT STFT (test/main.py:56-63)
+        # cross-algorithm sanity vs FFT STFT (test/main.py:56-63).  The
+        # comparator is host-side reference math: pin it to the CPU backend —
+        # XLA's TPU FFT at non-power-of-two frame sizes (e.g. 2000) can take
+        # minutes just to compile, and nothing hardware-relevant is gated
+        # here (the chip paths are gated above, via the CLI).
         framesize = dftsize * 2
         xd = np.roll(x, framesize)
         xd[:framesize] = 0
         stft = STFT(framesize=framesize, hopsize=hopsize, window=window)
-        stftx = stft.stft(xd)
+        with jax.default_device(jax.devices("cpu")[0]):
+            stftx = stft.stft(xd)
         corr = _spectro_corr(dfts_tpu, stftx[:dfts_tpu.shape[0]])
         print(f"SDFT vs STFT log-spectrogram correlation: {corr:.4f}")
         assert corr > 0.9, corr

@@ -8,7 +8,8 @@ Blackman frequency-domain windowing, configurable TD/FD precision, endless
 bounded-memory streaming, and multi-chip sharding over bins/time/channels.
 """
 
-from .api import isdft, refresh, roundtrip, sdft, sdft_hopped
+from .api import (isdft, refresh, roundtrip, roundtrip_hopped, sdft,
+                  sdft_hopped)
 from .compat import SDFT, STFT
 from .config import DEFAULT_PRECISION, FAST_PRECISION, Precision
 from .cplx import from_complex, to_complex
@@ -36,6 +37,7 @@ __all__ = [
     "isdft",
     "refresh",
     "roundtrip",
+    "roundtrip_hopped",
     "to_complex",
     "from_complex",
     "snr_db",

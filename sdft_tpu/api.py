@@ -27,7 +27,8 @@ import numpy as np
 from .cplx import from_complex, pack, unpack
 from .kernels import forward_block_pallas, pallas_supported, plan_supported
 from .ops.analysis import refresh_state, sdft_block
-from .ops.lti import roundtrip_block_lti, sdft_hopped as _sdft_hopped_1d
+from .ops.lti import (roundtrip_block_lti, roundtrip_hopped_chain,
+                      sdft_hopped as _sdft_hopped_1d)
 from .ops.synthesis import isdft_block
 from .plan import Plan
 from .state import State
@@ -161,6 +162,38 @@ def roundtrip(plan: Plan, state: State, samples, transform=None
     if transform is None:
         return roundtrip_block_lti(plan, state, samples)
     return _roundtrip_transform(plan, state, samples, transform)
+
+
+def roundtrip_hopped(plan: Plan, state: State, blocks, hop: int,
+                     refresh_every: int | None = 1
+                     ) -> tuple[State, jax.Array, jax.Array]:
+    """Chained driver-protocol segment: hop-dfts + synthesized samples for a
+    stack of blocks in ONE compiled program (one dispatch, one fetch).
+
+    The fast path for the reference's hop-chunked streaming usage
+    (test/test.c:69-83).  See ops.lti.roundtrip_hopped_chain.
+
+    Args:
+      plan: static plan.
+      state: carry (unbatched for (nb, B) blocks, batched for (nb, C, B)).
+      blocks: (nb, B) or (nb, C, B) stacked sample blocks, B a multiple of
+        ``hop``.
+      hop: hop size in samples.
+      refresh_every: accumulator refresh cadence in blocks (None = off).
+
+    Returns:
+      (new_state, hop_dfts, ys): hop_dfts packed (nb, B//hop, m, 2)
+      [(nb, C, B//hop, m, 2)], ys (nb, B) [(nb, C, B)].
+    """
+    blocks = jnp.asarray(blocks)
+    if blocks.ndim not in (2, 3):
+        raise ValueError(f"blocks must be (nb, B) or (nb, C, B), "
+                         f"got {blocks.shape}")
+    if blocks.shape[-1] % hop:
+        raise ValueError(f"block length {blocks.shape[-1]} must be a "
+                         f"multiple of hop {hop}")
+    return roundtrip_hopped_chain(plan, state, blocks, hop, None,
+                                  refresh_every)
 
 
 def sdft_hopped(plan: Plan, state: State, samples, hop: int

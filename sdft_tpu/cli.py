@@ -34,7 +34,11 @@ from .io.dump import dump_complex
 from .io.wav import read_wav, write_wav
 from .plan import Plan
 from .state import init_state
-from .api import roundtrip, sdft_hopped
+from .api import roundtrip, roundtrip_hopped, sdft_hopped
+
+#: Cap on hop-DFT bytes staged per dispatch (the fetch is chunked anyway;
+#: this bounds device memory for hours-long streams, not test.wav).
+_SUPER_DFT_BYTES = 256 << 20
 
 
 def main(argv=None) -> int:
@@ -82,41 +86,67 @@ def main(argv=None) -> int:
     size = (x.size // hopsize) * hopsize
     x = x[:size]
 
+    ys = []
+    hop_dfts = []
+    t0 = time.perf_counter()
     if mesh is not None:
         from .parallel import sharded_roundtrip, sharded_sdft_hopped
 
         state = init_state(plan, channels=1)
-        size = (size // block) * block  # whole sharded blocks only
-        x = x[:size]
-    else:
-        state = init_state(plan)
-    ys = []
-    hop_dfts = []
-    progress = 0
-    t0 = time.perf_counter()
-    for i in range(0, size, block):
-        blk = x[i:i + block]
-        # the DFT vector of each hop's first sample (test/test.c:82) comes
-        # from the hopped analysis — skipped spectra are never computed —
-        # and the synthesized samples from the collapsed round trip; both
-        # read the same in-state, and the round trip's out-state carries on.
-        if mesh is not None:
+        progress = 0
+        mesh_size = (size // block) * block  # whole sharded blocks
+        for i in range(0, mesh_size, block):
+            blk = x[i:i + block]
+            # each hop's first DFT vector (test/test.c:82) comes from the
+            # hopped analysis — skipped spectra are never computed — and the
+            # synthesized samples from the collapsed round trip; both read
+            # the same in-state, the round trip's out-state carries on.
             _, hdfts = sharded_sdft_hopped(plan, mesh, state, blk[None], hopsize)
             state, y = sharded_roundtrip(plan, mesh, state, blk[None])
-            hdfts, y = hdfts[0], y[0]
-        else:
-            _, hdfts = sdft_hopped(plan, state, blk, hopsize)
-            state, y = roundtrip(plan, state, blk)
-        ys.append(np.asarray(y))
-        hop_dfts.append(to_complex(np.asarray(hdfts)))
-        percent = min(i + block, size) / size
-        if int(percent * 10) != progress:
-            progress = int(percent * 10)
-            print(f"{progress * 10}%")
+            ys.append(np.asarray(y[0]))
+            hop_dfts.append(to_complex(np.asarray(hdfts[0])))
+            percent = min(i + block, mesh_size) / size
+            if int(percent * 10) != progress:
+                progress = int(percent * 10)
+                print(f"{progress * 10}%")
+        # the trailing partial sharded block runs on the single-device path
+        # with the same carried state (chunking invariance) — mesh output is
+        # never shorter than the single-device output for the same WAV
+        if mesh_size < size:
+            tail = x[mesh_size:]
+            _, hdfts = sdft_hopped(plan, state, tail[None], hopsize)
+            state, y = roundtrip(plan, state, tail[None])
+            ys.append(np.asarray(y[0]))
+            hop_dfts.append(to_complex(np.asarray(hdfts[0])))
+    else:
+        # Single-device fast path: chain NB blocks per compiled program
+        # (api.roundtrip_hopped) — one dispatch + one fetch per segment
+        # instead of two programs and a host round trip per block, which is
+        # ~1000x slower through a hosted-TPU tunnel (the reference's per-hop
+        # call shape, test/test.c:69-83, priced at TPU dispatch latency).
+        # The stream is zero-padded to whole (NB, block) segments so every
+        # dispatch reuses ONE compiled program (first-call cost on the
+        # hosted tunnel explodes superlinearly past ~32 scan steps); the
+        # padding only influences carry state past the end of the stream,
+        # and outputs are truncated back to the true size below.
+        state = init_state(plan)
+        bytes_per_block = max(1, (block // hopsize) * dftsize * 8)
+        nb = int(min(32, max(1, _SUPER_DFT_BYTES // bytes_per_block)))
+        seg = nb * block
+        padded = -(-size // seg) * seg
+        xp = np.zeros(padded, x.dtype)
+        xp[:size] = x
+        for i in range(0, padded, seg):
+            xs = xp[i:i + seg].reshape(nb, block)
+            state, hd, yy = roundtrip_hopped(plan, state, xs, hopsize)
+            ys.append(np.asarray(yy).reshape(-1))
+            hop_dfts.append(
+                to_complex(np.asarray(hd).reshape(-1, dftsize, 2)))
+            print(f"{min(i + seg, size) * 100 // size}%")
     elapsed = time.perf_counter() - t0
 
-    y = np.concatenate(ys).astype(np.float64)
-    dfts_out = np.concatenate(hop_dfts)
+    y = np.concatenate(ys).astype(np.float64)[:size]
+    dfts_out = np.concatenate(hop_dfts)[:size // hopsize]
     write_wav(wavfile, y, sr)
     dump_complex(dftfile, dfts_out)
     print(f"{size} samples in {elapsed:.3f}s = {size / elapsed:,.0f} samples/s")

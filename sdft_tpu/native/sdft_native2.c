@@ -115,12 +115,16 @@ void sdft_oracle2_sdft(void *h, int64_t n, const double *x, double *out_ri) {
   if (n > e->cap) {
     free(e->delta);
     e->delta = (double *)malloc((size_t)n * sizeof(double));
+    if (!e->delta) { e->cap = 0; abort(); }
     e->cap = n;
   }
 
-  /* Pass 1 — comb stage for the whole block.  delta[s] = x[t] - x[t-2m],
-   * TD-quantized (spec: c/src/sdft/sdft.h:564: delta computed from TD
-   * values, consumed in FD precision). */
+  /* Pass 1 — comb stage for the whole block.  delta[s] = x[t] - x[t-2m].
+   * Note: at td_bits=32 the *difference* is rounded to float32 too — this is
+   * the repo's TD-quantization convention shared with engine #1 (so the two
+   * engines agree to 1e-12), slightly stricter than the reference, whose
+   * c/src/sdft/sdft.h:564 keeps the difference of two TD floats in FD double
+   * without rounding it; the ~1e-8 deviation sits far below the 1e-7 gate. */
   const int64_t t0 = e->t;
   {
     int64_t t = t0;

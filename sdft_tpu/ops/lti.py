@@ -271,6 +271,66 @@ def _roundtrip_nd(plan: Plan, state: State, samples: jnp.ndarray,
     return new_state, y
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def roundtrip_hopped_chain(plan: Plan, state: State, xs: jnp.ndarray,
+                           hop: int, k_tile: int | None = None,
+                           refresh_every: int | None = 1):
+    """Chain many hop-blocks inside ONE compiled program — the fast form of
+    the reference driver protocol (test/test.c:69-83: stream hop-chunked
+    samples through carried plan state, keep each hop's first DFT vector and
+    the synthesized samples).
+
+    Dispatching one program per block loses catastrophically on hosted TPUs
+    (the per-dispatch round trip dwarfs the sub-ms compute); this runs a
+    ``lax.scan`` over the stacked blocks so the whole stream segment is one
+    dispatch + one fetch, exactly the shape of the chained benchmark
+    (bench.py).  Each scan step shares one comb/delta pass between the
+    hopped analysis and the collapsed-LTI round trip (XLA CSEs the common
+    subexpressions) and optionally refreshes the accumulator.
+
+    Args:
+      plan: static plan.
+      state: carry — unbatched for xs (nb, B), channel-batched for
+        xs (nb, C, B).
+      xs: stacked sample blocks, each a multiple of ``hop`` long.
+      hop: hop size in samples (static).
+      k_tile: tile for the round-trip GEMMs (static; default auto).
+      refresh_every: exactly rebuild the accumulator from the delayline
+        every N scan steps (ops.analysis.refresh_state) — two MXU matvecs
+        that zero the f32 carry drift of long streams, keeping the on-chip
+        f32 path inside the reference 1e-7 gate regardless of stream
+        length.  None disables.
+
+    Returns:
+      (new_state, hop_dfts, ys) with hop_dfts packed
+      (nb, B//hop, m, 2) [or (nb, C, B//hop, m, 2)] and ys (nb, B)
+      [or (nb, C, B)].
+    """
+    from .analysis import refresh_state
+
+    def _refresh(st: State) -> State:
+        if st.offset.ndim == 0:
+            return refresh_state(plan, st)
+        return jax.vmap(lambda s: refresh_state(plan, s))(st)
+
+    def body(carry, x):
+        st, since = carry
+        _, hd = sdft_hopped(plan, st, x, hop)
+        st, y = roundtrip_block_lti(plan, st, x, k_tile)
+        if refresh_every is None:
+            return (st, since), (hd, y)
+        if refresh_every == 1:
+            return (_refresh(st), since), (hd, y)
+        since = since + 1
+        st = jax.lax.cond(since >= refresh_every, _refresh, lambda s: s, st)
+        since = jnp.where(since >= refresh_every, 0, since)
+        return (st, since), (hd, y)
+
+    (state, _), (hdfts, ys) = jax.lax.scan(
+        body, (state, jnp.zeros((), jnp.int32)), xs)
+    return state, hdfts, ys
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def sdft_hopped(plan: Plan, state: State, samples: jnp.ndarray, hop: int):
     """Forward analysis emitting one spectrum per hop (at samples 0, hop,

@@ -12,19 +12,22 @@ implementations): ``native`` is the C++17 integer-exponent-phase engine,
 
 from __future__ import annotations
 
+import os
 import pathlib
 import subprocess
 import threading
 
 NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent / "native"
 
-#: engine name -> (compiler, source file, language-standard flag)
+#: engine name -> (compiler env var, default compiler, source, std flag) —
+#: honoring $CC/$CXX keeps this ctypes build path consistent with the
+#: Makefile's toolchain overrides.
 _ENGINES = {
-    "native": ("g++", "sdft_native.cpp", "-std=c++17"),
-    "native2": ("gcc", "sdft_native2.c", "-std=c99"),
+    "native": ("CXX", "g++", "sdft_native.cpp", "-std=c++17"),
+    "native2": ("CC", "gcc", "sdft_native2.c", "-std=c99"),
 }
 
-SOURCE = NATIVE_DIR / _ENGINES["native"][1]
+SOURCE = NATIVE_DIR / _ENGINES["native"][2]
 LIBRARY = NATIVE_DIR / "_build" / "libsdft_native.so"
 
 _lock = threading.Lock()
@@ -32,7 +35,8 @@ _lock = threading.Lock()
 
 def ensure_library(engine: str = "native") -> pathlib.Path:
     """Compile the named engine if missing or stale; return the .so path."""
-    compiler, src_name, std = _ENGINES[engine]
+    env_var, default_cc, src_name, std = _ENGINES[engine]
+    compiler = os.environ.get(env_var, default_cc)
     source = NATIVE_DIR / src_name
     library = NATIVE_DIR / "_build" / f"libsdft_{engine}.so"
     with _lock:

@@ -131,6 +131,54 @@ class Streamer:
         if pending is not None:
             yield np.asarray(pending)
 
+    def run_hopped(self, blocks: Iterable, hop: int, chain: int = 16
+                   ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Chained driver-protocol streaming (the fast path on hosted TPUs).
+
+        Groups ``chain`` equal-length blocks and runs each group through ONE
+        compiled program (api.roundtrip_hopped: a lax.scan over the group)
+        — one dispatch + one fetch per group instead of two programs per
+        block, which is what the reference's hop loop (test/test.c:69-83)
+        costs when every call pays TPU dispatch latency.
+
+        Args:
+          blocks: iterable of equal-length (M,) / (C, M) sample blocks,
+            M a multiple of ``hop`` (a shorter final group is fine — it
+            compiles one extra program).
+          hop: spectra emission stride in samples.
+          chain: blocks per compiled segment (kept modest: hosted-tunnel
+            first-call cost grows sharply past ~32 scan steps).
+
+        Yields:
+          (hop_dfts, samples) per input block — the packed
+          (M//hop, m, 2) first-of-hop spectra and the (M,) synthesized
+          round-trip samples, as numpy arrays.
+
+        The accumulator refresh cadence (``refresh_every``) applies within
+        each group, restarting at group boundaries.
+        """
+        from ..api import roundtrip_hopped
+
+        buf: list = []
+
+        def flush():
+            xs = np.stack([np.asarray(b) for b in buf])
+            self.state, hd, ys = roundtrip_hopped(
+                self.plan, self.state, xs, hop,
+                refresh_every=self.refresh_every)
+            self.samples_processed += xs.shape[0] * xs.shape[-1]
+            hd, ys = np.asarray(hd), np.asarray(ys)
+            buf.clear()
+            for b in range(hd.shape[0]):
+                yield hd[b], ys[b]
+
+        for block in blocks:
+            buf.append(block)
+            if len(buf) == chain:
+                yield from flush()
+        if buf:
+            yield from flush()
+
     # -- checkpoint / resume --------------------------------------------------
 
     def checkpoint(self, path: str | pathlib.Path) -> None:

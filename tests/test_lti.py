@@ -197,3 +197,74 @@ def test_sdft_hopped_batched():
     _, d_full = sdft(plan, init_state(plan, channels=3), x)
     np.testing.assert_allclose(np.asarray(d),
                                np.asarray(d_full)[:, ::32], atol=1e-14)
+
+
+def test_roundtrip_hopped_chain_matches_blockwise():
+    """The chained driver-protocol program equals the per-block composition
+    of sdft_hopped + roundtrip (the reference's hop loop, test/test.c:69-83),
+    for every refresh cadence."""
+    from sdft_tpu import roundtrip_hopped, sdft_hopped
+    from sdft_tpu.ops.analysis import refresh_state
+
+    plan = Plan(96, window="hann", precision=F64)
+    hop, B, nb = 16, 128, 5
+    x = _signal(nb * B, seed=3)
+    xs = x.reshape(nb, B)
+
+    for refresh_every in (None, 1, 2):
+        st_chain = init_state(plan)
+        st_chain, hd, ys = roundtrip_hopped(plan, st_chain, xs, hop,
+                                            refresh_every=refresh_every)
+        assert hd.shape == (nb, B // hop, 96, 2)
+        assert ys.shape == (nb, B)
+
+        st_ref = init_state(plan)
+        since = 0
+        for b in range(nb):
+            _, hd_b = sdft_hopped(plan, st_ref, xs[b], hop)
+            st_ref, y_b = roundtrip(plan, st_ref, xs[b])
+            if refresh_every is not None:
+                since += 1
+                if since >= refresh_every:
+                    st_ref = refresh_state(plan, st_ref)
+                    since = 0
+            np.testing.assert_allclose(np.asarray(hd[b]), np.asarray(hd_b),
+                                       atol=1e-12)
+            np.testing.assert_allclose(np.asarray(ys[b]), np.asarray(y_b),
+                                       atol=1e-12)
+        np.testing.assert_allclose(np.asarray(st_chain.accumulator),
+                                   np.asarray(st_ref.accumulator), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(st_chain.delayline),
+                                   np.asarray(st_ref.delayline), atol=0)
+
+
+def test_roundtrip_hopped_chain_batched_channels():
+    from sdft_tpu import roundtrip_hopped
+
+    plan = Plan(64, window="hamming", precision=F64)
+    hop, B, nb, C = 8, 64, 3, 2
+    x = _signal(nb * C * B, seed=4).reshape(nb, C, B)
+
+    st = init_state(plan, channels=C)
+    st, hd, ys = roundtrip_hopped(plan, st, x, hop)
+    assert hd.shape == (nb, C, B // hop, 64, 2)
+    assert ys.shape == (nb, C, B)
+    # channel c of the batch == an independent mono stream
+    for c in range(C):
+        st1 = init_state(plan)
+        st1, hd1, ys1 = roundtrip_hopped(plan, st1, x[:, c], hop)
+        np.testing.assert_allclose(np.asarray(hd[:, c]), np.asarray(hd1),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ys[:, c]), np.asarray(ys1),
+                                   atol=1e-12)
+
+
+def test_roundtrip_hopped_validates_shapes():
+    from sdft_tpu import roundtrip_hopped
+
+    plan = Plan(64, precision=F64)
+    st = init_state(plan)
+    with pytest.raises(ValueError, match="multiple of hop"):
+        roundtrip_hopped(plan, st, np.zeros((2, 65)), 8)
+    with pytest.raises(ValueError, match="blocks must be"):
+        roundtrip_hopped(plan, st, np.zeros(64), 8)

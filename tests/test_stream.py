@@ -111,3 +111,31 @@ def test_streamer_fused_transform_requires_default_ops():
     s = Streamer(plan)
     with pytest.raises(ValueError, match="fuse_transform"):
         list(s.run([np.zeros(32)], fuse_transform=True))
+
+
+def test_run_hopped_chained_matches_unchained():
+    """Streamer.run_hopped (grouped one-program chains) must equal the
+    per-block hopped analysis + round trip regardless of group size."""
+    from sdft_tpu import Plan, Precision, init_state, roundtrip, sdft_hopped
+    from sdft_tpu.stream import Streamer, iter_blocks
+
+    plan = Plan(80, precision=Precision("float64", "float64"))
+    hop, B = 10, 80
+    rng = np.random.default_rng(9)
+    x = np.clip(rng.standard_normal(7 * B), -3, 3) / 2
+
+    ref_state = init_state(plan)
+    want = []
+    for blk in iter_blocks(x, B):
+        _, hd = sdft_hopped(plan, ref_state, blk, hop)
+        ref_state, y = roundtrip(plan, ref_state, blk)
+        want.append((np.asarray(hd), np.asarray(y)))
+
+    for chain in (1, 3, 16):
+        s = Streamer(plan)
+        got = list(s.run_hopped(iter_blocks(x, B), hop, chain=chain))
+        assert len(got) == len(want)
+        for (hd_g, y_g), (hd_w, y_w) in zip(got, want):
+            np.testing.assert_allclose(hd_g, hd_w, atol=1e-12)
+            np.testing.assert_allclose(y_g, y_w, atol=1e-12)
+        assert s.samples_processed == x.size
