@@ -41,6 +41,13 @@ then
   echo "== on-TPU crosscheck ($DFTSIZE $HOPSIZE $WINDOW $LATENCY, f32) =="
   SDFT_CROSSCHECK_BACKEND=tpu python scripts/crosscheck.py \
       "$DFTSIZE" "$HOPSIZE" "$WINDOW" "$LATENCY" "$WAV"
+  # f32 error-model gates across the dftsize range (model + measurements
+  # documented in scripts/crosscheck.py); the canonical m=1000 ran above
+  for M in 512 4096; do
+    echo "== on-TPU crosscheck ($M $HOPSIZE $WINDOW $LATENCY, f32) =="
+    SDFT_CROSSCHECK_BACKEND=tpu python scripts/crosscheck.py \
+        "$M" "$HOPSIZE" "$WINDOW" "$LATENCY" "$WAV"
+  done
 else
   echo "== no TPU attached; skipping on-hardware tier =="
 fi
