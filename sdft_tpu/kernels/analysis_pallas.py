@@ -22,14 +22,21 @@ mod 2m)`` is one row of transcendentals per grid step.  All exponent
 arithmetic is mod 2m in int32, so phases never drift — the kernel equivalent
 of reference C's periodic phase reset (c/src/sdft/sdft.h:566-576).
 
-Layout: planar re/im throughout (Pallas has no complex dtype).  Bin axis is
-padded by PAD=64 columns on each side so W = m + 128 stays lane-aligned; the
-window convolution reads a 1-2 column halo and the Hermitian edge guards
-(c/src/sdft/sdft.h:589-595) are materialized by masked column writes.
+Layout: planar re/im throughout (Pallas has no complex dtype).  The bin
+axis is first rounded up to mp = ceil(m/128)*128 ("dead" bins m..mp-1 hold
+well-defined but unused phases; every op is per-bin elementwise except the
+window convolution, whose halo reads at the top edge are overwritten by the
+Hermitian guard logic before use), then padded by PAD=64 columns on each
+side so W = mp + 128 stays lane-aligned.  The window convolution reads a
+1-2 column halo and the Hermitian edge guards (c/src/sdft/sdft.h:589-595)
+are materialized by masked column writes / top-column output fixes.  Block
+lengths that are not a multiple of the tile are zero-padded in the delta
+domain (zero deltas cannot perturb the carry) and the junk spectra rows are
+masked off by the partial final output block.
 
 Constraints (wrapper falls back to the XLA path otherwise):
   * float32 TD/FD precision (f64 parity mode stays on XLA/CPU),
-  * m % 128 == 0 and M % TILE_K == 0.
+  * m >= 128 (smaller plans gain nothing from the fused kernel).
 """
 
 from __future__ import annotations
@@ -60,13 +67,17 @@ def pallas_supported() -> bool:
         return False
 
 
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
 def plan_supported(plan: Plan, M: int) -> bool:
+    del M  # any block length: partial tiles are zero-padded internally
     return (
         plan.precision.resolve().td == "float32"
         and plan.precision.resolve().fd == "float32"
-        and plan.dftsize % 128 == 0
-        and plan.dftsize >= 256
-        and M % TILE_K == 0
+        and plan.dftsize >= 128
+        and 2 * plan.dftsize * plan.dftsize < 2 ** 31  # int32 exact phases
         and plan.roi is None  # partial-band plans take the XLA path
     )
 
@@ -139,7 +150,7 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
 
     m = plan.dftsize
     n2 = 2 * m
-    W = m + 2 * PAD
+    W = _round_up(m, 128) + 2 * PAD
     omega = np.float32(-np.pi / m)
     t = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -297,15 +308,20 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
             out_dtype: str | None = None):
     m = plan.dftsize
     n2 = 2 * m
-    W = m + 2 * PAD
+    W = _round_up(m, 128) + 2 * PAD
     (M,) = samples.shape
-    if M % tile_k:
-        raise ValueError(f"block length {M} not a multiple of tile_k {tile_k}")
-    nt = M // tile_k
+    # blocks that are not a whole number of tiles are zero-padded in the
+    # delta domain: zero deltas leave the carried accumulator untouched, so
+    # only the junk spectra rows (masked off by the partial final output
+    # block) and the padded y tail (sliced below) ever see them
+    Mp = _round_up(M, tile_k)
+    nt = Mp // tile_k
 
     samples = samples.astype(jnp.float32)
     line = jnp.concatenate([state.delayline.astype(jnp.float32), samples])
     delta = (samples - line[:M]).reshape(1, M)
+    if Mp != M:
+        delta = jnp.pad(delta, ((0, 0), (0, Mp - M)))
     new_delayline = line[M:].astype(plan.precision.td_dtype)
 
     # acc planar (2, W) with zero pads; state.accumulator packed (m, 2).
@@ -339,8 +355,8 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
         out_specs += [pl.BlockSpec((tile_k, m), lambda t: (t, 0),
                                    memory_space=pltpu.VMEM)] * 2
     if emit_y:
-        out_shapes += [jax.ShapeDtypeStruct((1, M), jnp.float32)]
-        out_specs += [pl.BlockSpec((1, M), lambda t: (0, 0),
+        out_shapes += [jax.ShapeDtypeStruct((1, Mp), jnp.float32)]
+        out_specs += [pl.BlockSpec((1, Mp), lambda t: (0, 0),
                                    memory_space=pltpu.VMEM)]
     # acc_out revisited every step, written at the last one
     out_shapes += [jax.ShapeDtypeStruct((2, W), jnp.float32)]
@@ -359,7 +375,7 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),            # offset (1,1)
-            pl.BlockSpec((1, M), lambda t: (0, 0),
+            pl.BlockSpec((1, Mp), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),            # delta (full)
             pl.BlockSpec((2, W), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),            # acc_in
@@ -393,7 +409,7 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
             dfts = jnp.stack([dft_re, dft_im], axis=-1)
         outs = outs[2:]
     if emit_y:
-        y = outs[0].reshape(M).astype(plan.precision.td_dtype)
+        y = outs[0].reshape(Mp)[:M].astype(plan.precision.td_dtype)
         outs = outs[1:]
     acc_out = outs[0]
 

@@ -198,9 +198,11 @@ def _phase_rows(offset, nt: int, K: int, m: int, fd):
     n2 = 2 * m
     p = n2 // math.gcd(K, n2)
     q = min(nt, p)
-    e0 = jnp.mod(offset.astype(jnp.int32)[:, None]
-                 + jnp.arange(q, dtype=jnp.int32)[None, :] * K, n2)
-    r = jnp.mod(e0[..., None] * jnp.arange(m, dtype=jnp.int32), n2)
+    from .twiddle import exponent_dtype
+    dt = exponent_dtype(m)
+    e0 = jnp.mod(offset.astype(dt)[:, None]
+                 + jnp.arange(q, dtype=dt)[None, :] * K, n2)
+    r = jnp.mod(e0[..., None] * jnp.arange(m, dtype=dt), n2)
     ang = (-np.pi / m) * r.astype(fd)
     row_re = jnp.cos(ang)
     row_im = jnp.sin(ang)

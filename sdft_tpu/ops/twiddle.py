@@ -13,10 +13,29 @@ no drift *within* the period either.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..plan import Plan
+
+
+def exponent_dtype(m: int):
+    """Integer dtype for the exact phase products ``(e * i) mod 2m``.
+
+    The factors are bounded by e < 2m and i < m, so int32 is exact while
+    2m*m < 2^31 (m <= 32768).  Larger plans — the reference allocates any
+    size (c/src/sdft/sdft.h:413-450) — promote to int64, which requires the
+    x64 (f64 parity) mode; the f32 fast path keeps no meaningful phase
+    resolution at those sizes anyway.
+    """
+    if 2 * m * m < 2 ** 31:
+        return jnp.int32
+    if not jax.config.jax_enable_x64:
+        raise ValueError(
+            f"dftsize {m} needs int64 exact-phase arithmetic; enable "
+            "jax_enable_x64 (the f64 parity mode) for plans above 32768 bins")
+    return jnp.int64
 
 
 def fiddle_rows(plan: Plan, exponents: jnp.ndarray, conj: bool = False,
@@ -35,11 +54,13 @@ def fiddle_rows(plan: Plan, exponents: jnp.ndarray, conj: bool = False,
     """
     m = plan.dftsize
     n2 = 2 * m
+    dt = exponent_dtype(m)
     if bins is None:
         bins = jnp.arange(m, dtype=jnp.int32)
-    e = jnp.mod(exponents.astype(jnp.int32), n2)
-    # (e * i) stays within int32: e < 2m, i < m, and plan enforces 2m*m < 2^31.
-    r = jnp.mod(e[:, None] * bins[None, :].astype(jnp.int32), n2)
+    e = jnp.mod(exponents.astype(dt), n2)
+    # (e * i) stays exact: e < 2m, i < m, and exponent_dtype picks a width
+    # with 2m*m representable.
+    r = jnp.mod(e[:, None] * bins[None, :].astype(dt), n2)
     sign = 1.0 if conj else -1.0
     omega = sign * np.pi / m  # conj flips exp(-j..) -> exp(+j..)
     angle = (omega * r).astype(plan.precision.fd_dtype)

@@ -41,7 +41,7 @@ from ..state import State
 from ..windows import WINDOW_HALO, Window
 from ..ops.convolve import window_convolve
 from ..ops.lti import K_TILE, _lti_constants
-from ..ops.twiddle import fiddle_rows, synthesis_twiddles
+from ..ops.twiddle import exponent_dtype, fiddle_rows, synthesis_twiddles
 
 # Sharding specs for the batched State pytree: accumulator shards over bins,
 # offset/delayline replicate over time and bins.  Spectral arrays are packed
@@ -258,9 +258,10 @@ def _roundtrip_local_lti(plan: Plan, state: State, samples, fine_re, fine_im,
                            preferred_element_type=fd)
 
     # absolute tile-start exponents: per channel (offsets are per-stream)
-    e0 = jnp.mod(state.offset.astype(jnp.int32)[:, None] + d * L
-                 + jnp.arange(nt, dtype=jnp.int32)[None, :] * K, n2)
-    r = jnp.mod(e0[..., None] * bins[None, None, :], n2)
+    edt = exponent_dtype(m)
+    e0 = jnp.mod(state.offset.astype(edt)[:, None] + d * L
+                 + jnp.arange(nt, dtype=edt)[None, :] * K, n2)
+    r = jnp.mod(e0[..., None] * bins[None, None, :].astype(edt), n2)
     ang = (-np.pi / m) * r.astype(fd)
     row0_re = jnp.cos(ang)
     row0_im = jnp.sin(ang)
@@ -341,9 +342,10 @@ def _hopped_local(plan: Plan, state: State, samples, fine_re, fine_im,
     totals = (totals_re + 1j * totals_im).astype(cd)
 
     # absolute tile-start exponents (exact mod-2m integer phases)
-    e0 = jnp.mod(state.offset.astype(jnp.int32)[:, None] + d * L
-                 + jnp.arange(nt, dtype=jnp.int32)[None, :] * hop, n2)
-    r = jnp.mod(e0[..., None] * bins[None, None, :], n2)
+    edt = exponent_dtype(m)
+    e0 = jnp.mod(state.offset.astype(edt)[:, None] + d * L
+                 + jnp.arange(nt, dtype=edt)[None, :] * hop, n2)
+    r = jnp.mod(e0[..., None] * bins[None, None, :].astype(edt), n2)
     ang = (-np.pi / m) * r.astype(fd)
     row0 = jnp.cos(ang) + 1j * jnp.sin(ang)
 
@@ -456,6 +458,39 @@ def _sharded_roundtrip_lti_jit(plan: Plan, mesh: Mesh, state: State, samples):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def _sharded_roundtrip_transform_jit(plan: Plan, mesh: Mesh, state: State,
+                                     samples, transform):
+    """Scan-form round trip with a spectral transform between analysis and
+    synthesis — the reference's core spectral-processing pattern
+    (python/src/sdft/sdft.py: analyze, modify the spectrum, resynthesize)
+    under sharding.  The transform runs bin-locally on each shard's slice of
+    the spectra, before the psum synthesis reduction."""
+    m_total = samples.shape[-1]
+    nb = dict(zip(mesh.axis_names, mesh.devices.shape))["bins"]
+    mb = plan.dftsize // nb
+
+    def body(st, x):
+        new_st, dfts = _forward_local(plan, st, x, m_total=m_total)
+        z = cplx.unpack(dfts)                               # (C, L, mb) complex
+        bins = (lax.axis_index("bins") * mb
+                + jnp.arange(mb, dtype=jnp.int32))          # global bin ids
+        z2 = transform(z, bins)
+        if z2.shape != z.shape:
+            raise ValueError(
+                f"transform must preserve the local spectra shape {z.shape}, "
+                f"returned {z2.shape}")
+        y = _inverse_local(plan, cplx.pack(z2), bins_sharded=nb > 1)
+        return new_st, y
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(STATE_SPECS, SAMPLE_SPEC),
+        out_specs=(STATE_SPECS, SAMPLE_SPEC),
+        check_vma=False,
+    )(state, samples)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
 def _sharded_hopped_jit(plan: Plan, mesh: Mesh, state: State, samples,
                         hop: int):
     m_total = samples.shape[-1]
@@ -528,7 +563,7 @@ def sharded_isdft(plan: Plan, mesh: Mesh, dfts):
 
 
 def sharded_roundtrip(plan: Plan, mesh: Mesh, state: State, samples,
-                      *, collapsed: bool = True):
+                      *, collapsed: bool = True, transform=None):
     """Fused analysis+synthesis step (the flagship full-step program).
 
     With ``collapsed`` (default) the per-shard compute is the LTI form —
@@ -536,10 +571,25 @@ def sharded_roundtrip(plan: Plan, mesh: Mesh, state: State, samples,
     conv are folded into plan constants).  ``collapsed=False`` runs the
     scan-form program (per-sample spectra inside each shard); both produce
     the same samples and carry state up to rounding.
+
+    With ``transform`` — the reference's core spectral-processing pattern
+    (python/src/sdft/sdft.py: analyze, modify the spectrum, resynthesize) —
+    the chain is no longer LTI, so the scan-form program runs with the
+    transform applied to each shard's bin-local spectra before the psum
+    synthesis.  ``transform(spectra, bins)`` must be a traceable pure
+    function of the complex (C, L, mb) local spectra and the (mb,) int32
+    *global* bin indices of the shard, returning the same shape — e.g. a
+    low-pass: ``lambda z, bins: z * (bins < cutoff)``.  It is hashed by
+    identity for the jit cache, so define it once rather than inline per
+    call.  A bin-sharded mesh applies it shard-wise; results equal the
+    single-device ``api.roundtrip(transform=...)`` up to rounding.
     """
     samples = jnp.asarray(samples)
     C, M = samples.shape
     _check_layout(plan, mesh, C, M)
+    if transform is not None:
+        return _sharded_roundtrip_transform_jit(plan, mesh, state, samples,
+                                                transform)
     if collapsed:
         return _sharded_roundtrip_lti_jit(plan, mesh, state, samples)
     return _sharded_roundtrip_jit(plan, mesh, state, samples)

@@ -29,6 +29,10 @@ from .config import Precision, DEFAULT_PRECISION
 from .windows import Window, WINDOW_HALO
 
 #: Largest dftsize for which (2m * m) fits in int32 exact-phase arithmetic.
+#: Larger plans are allowed — the reference allocates any size
+#: (c/src/sdft/sdft.h:413-450) — and promote exponent products to int64
+#: (ops.twiddle.exponent_dtype), which requires the x64/f64 parity mode;
+#: the fused Pallas kernel (int32-only hardware path) gates itself off.
 MAX_DFTSIZE_I32 = 32768
 
 
@@ -63,12 +67,6 @@ class Plan:
         if not (0.0 < float(self.latency) <= 1.0):
             raise ValueError(f"latency must be in (0, 1], got {self.latency!r}")
         object.__setattr__(self, "latency", float(self.latency))
-        if self.dftsize > MAX_DFTSIZE_I32:
-            # int32 exact-phase products (2m * m) would overflow; the f64
-            # exponent path still works but needs x64.  Gate loudly for now.
-            raise ValueError(
-                f"dftsize {self.dftsize} exceeds exact-phase int32 limit {MAX_DFTSIZE_I32}"
-            )
         hop_min = WINDOW_HALO[self.window] + 1
         if self.dftsize < hop_min + 1:
             raise ValueError(

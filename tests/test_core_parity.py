@@ -222,3 +222,29 @@ def test_roundtrip_transform_shape_guard():
     x = _signal(32)
     with pytest.raises(ValueError, match="preserve the spectra shape"):
         roundtrip(plan, init_state(plan), x, transform=lambda z: z[..., :4])
+
+
+def test_large_dftsize_int64_phases():
+    """m > 32768 (the int32 exact-phase limit) promotes exponent products to
+    int64 under x64 — the reference allocates any size
+    (c/src/sdft/sdft.h:413-450).  Gate m=65536 against the native oracle."""
+    from sdft_tpu import Plan, Precision, init_state, roundtrip, sdft_hopped
+    from sdft_tpu.oracle import NativeSDFT
+
+    m, M, hop = 65536, 256, 64
+    plan = Plan(m, window="hann",
+                precision=Precision("float64", "float64"))
+    rng = np.random.default_rng(17)
+    x = np.clip(rng.standard_normal(M), -3, 3) / 2
+
+    eng = NativeSDFT(m, "hann", td_bits=64)
+    want = eng.sdft(x)
+    y_want = eng.isdft(want)
+
+    st = init_state(plan)
+    _, hd = sdft_hopped(plan, st, x, hop)
+    got = np.asarray(hd)[..., 0] + 1j * np.asarray(hd)[..., 1]
+    np.testing.assert_allclose(got, want[::hop], atol=1e-12)
+
+    st, y = roundtrip(plan, st, x)
+    np.testing.assert_allclose(np.asarray(y), y_want, atol=1e-12)

@@ -136,9 +136,12 @@ def test_planar_layout_matches_packed():
 
 
 def test_plan_supported_gates():
-    assert not plan_supported(Plan(100, precision=F32), 64)     # m % 128
+    assert not plan_supported(Plan(100, precision=F32), 64)     # m < 128
     assert not plan_supported(Plan(256), 64)                    # f64 fd
-    assert not plan_supported(Plan(256, precision=F32), 100)    # M % TILE_K
+    assert not plan_supported(Plan(256, precision=F32, roi=(0, 128)), 64)
+    # any m >= 128 and any block length are in-kernel now (internal padding)
+    assert plan_supported(Plan(256, precision=F32), 100)
+    assert plan_supported(Plan(1000, precision=F32), 2100)      # canonical m
     assert plan_supported(Plan(4096, precision=F32), 16384)
 
 
@@ -176,3 +179,36 @@ def test_bf16_spectra_output():
     assert re_a.dtype == jnp.bfloat16
     with pytest.raises(ValueError, match="planar"):
         sdft(plan, state, x, spectra_dtype="bfloat16")
+
+
+@pytest.mark.parametrize("m,M,window", [
+    (1000, 2100, "hann"),       # the reference's canonical dftsize
+    (136, 384, "blackman"),     # odd m, halo 2
+    (256, 500, "hamming"),      # partial final tile
+])
+def test_unaligned_m_and_block(m, M, window):
+    """The kernel pads the bin axis to the next 128 multiple and the time
+    axis to whole tiles internally; outputs and carry must still match the
+    XLA scan path exactly (reference canonical config: test/main.sh:3)."""
+    from sdft_tpu.ops.analysis import sdft_block
+
+    plan = Plan(m, window=window, precision=F32)
+    x = _signal(M, seed=11)
+    st0 = init_state(plan)
+
+    st_k, d_k = forward_block_pallas(plan, st0, x, interpret=True)
+    st_x, d_x = sdft_block(plan, st0, x)
+    np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_x), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(st_k.accumulator),
+                               np.asarray(st_x.accumulator), atol=5e-4)
+    np.testing.assert_array_equal(np.asarray(st_k.delayline),
+                                  np.asarray(st_x.delayline))
+
+    # fused round trip at the same shapes
+    from sdft_tpu.kernels import roundtrip_block_fused
+    from sdft_tpu.ops.lti import roundtrip_block_lti
+    st_f, y_f = roundtrip_block_fused(plan, st0, x, interpret=True)
+    st_l, y_l = roundtrip_block_lti(plan, st0, x)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_l), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_f.accumulator),
+                               np.asarray(st_l.accumulator), atol=5e-4)

@@ -279,3 +279,50 @@ def test_sharded_hopped_blackman_short_blocks():
     np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref), atol=1e-12)
     np.testing.assert_allclose(np.asarray(st_sh.accumulator),
                                np.asarray(st_ref.accumulator), atol=1e-12)
+
+
+# module-level so the identity-hashed jit cache hits across parametrizations
+def _mesh_lowpass(z, bins):
+    return z * (bins < 48)
+
+
+def _single_lowpass(z):
+    import numpy as _np
+    return z * (_np.arange(z.shape[-1]) < 48)
+
+
+@pytest.mark.parametrize("axes", [
+    dict(channel=1, time=1, bins=4),
+    dict(channel=1, time=2, bins=2),
+    dict(channel=2, time=2, bins=1),
+])
+def test_sharded_transform_matches_single_device(axes):
+    """Mesh spectral transform (analyze -> modify -> resynthesize, the
+    reference's core usage: python/src/sdft/sdft.py) == the single-device
+    api.roundtrip(transform=...), for bin-sharded, time-sharded and
+    channel-sharded meshes."""
+    from sdft_tpu.api import roundtrip
+
+    plan = Plan(96, window="hann", precision=Precision("float64", "float64"))
+    mesh = make_mesh(**axes)
+    C, M = 2, 384
+    rng = np.random.default_rng(21)
+    x = np.clip(rng.standard_normal((C, M)), -3, 3) / 2
+
+    st_sh = init_state(plan, channels=C)
+    st_sh, y_sh = sharded_roundtrip(plan, mesh, st_sh, x,
+                                    transform=_mesh_lowpass)
+
+    st_1 = init_state(plan, channels=C)
+    st_1, y_1 = roundtrip(plan, st_1, x, transform=_single_lowpass)
+
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_sh.accumulator),
+                               np.asarray(st_1.accumulator), atol=1e-12)
+
+    # chained second block: the carry crosses the transform program too
+    st_sh, y_sh2 = sharded_roundtrip(plan, mesh, st_sh, x,
+                                     transform=_mesh_lowpass)
+    st_1, y_12 = roundtrip(plan, st_1, x, transform=_single_lowpass)
+    np.testing.assert_allclose(np.asarray(y_sh2), np.asarray(y_12),
+                               atol=1e-12)
