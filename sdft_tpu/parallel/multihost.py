@@ -38,16 +38,29 @@ def initialize(coordinator_address: str | None = None,
     On Cloud TPU pods all arguments auto-detect from the metadata server;
     pass them explicitly for other clusters (SPMD contract: every host runs
     the same program).
+
+    Must run before any other JAX call: probing the backend first (even
+    ``jax.process_count()``) initializes a single-process runtime and makes
+    the distributed setup fail — which is why this function must not
+    "check then initialize" (a bug the real 2-process test caught; the
+    mocked tier never exercised the ordering).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (RuntimeError, ValueError):
-        # single-process run (no cluster env) — SPMD code still works
-        pass
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return  # idempotent re-entry
+        if coordinator_address is None and num_processes is None:
+            # best-effort auto-detect outside any cluster env: fall back to
+            # the single-process runtime (SPMD code still works)
+            return
+        raise
+    except ValueError:
+        if coordinator_address is None and num_processes is None:
+            return
+        raise
 
 
 def global_mesh(channel: int = 1, time: int = 1, bins: int = 1) -> Mesh:
@@ -71,3 +84,13 @@ def host_local_to_global(mesh: Mesh, spec: P, host_arrays) -> jax.Array:
     """
     sharding = NamedSharding(mesh, spec)
     return jax.make_array_from_process_local_data(sharding, np.asarray(host_arrays))
+
+
+def global_array(mesh: Mesh, spec: P, host_value) -> jax.Array:
+    """Build a global sharded array from a host value every process holds in
+    full (e.g. the replicated carry State after a checkpoint restore): each
+    local device's shard is sliced out of it, no cross-host transfer."""
+    sharding = NamedSharding(mesh, spec)
+    host_value = np.asarray(host_value)
+    return jax.make_array_from_callback(host_value.shape, sharding,
+                                        lambda idx: host_value[idx])
