@@ -134,8 +134,8 @@ def bench_tpu():
 
     # diagnostic: forward analysis emitting all spectra (Pallas kernel,
     # planar layout — the kernel's native output; both planes consumed so
-    # the full (M, m) spectra hit HBM)
-    rate_f = None
+    # the full (M, m) spectra hit HBM), f32 and bf16 output element types
+    rate_f = rate_fb = None
     if use_pallas:
         xs = randn((K_HI_HEAVY, BLOCK))
         def fwd(st, x):
@@ -145,10 +145,50 @@ def bench_tpu():
         rate_f = BLOCK / per_f
         log(f"tpu forward+spectra (pallas, planar): {per_f * 1e3:.3f} ms/block "
             f"(signal {sig_f:.0%}) -> {rate_f:,.0f} samples/s")
+
+        def fwd16(st, x):
+            st, (re, im) = forward_block_pallas(plan, st, x, layout="planar",
+                                                out_dtype="bfloat16")
+            r32 = re[:, 0].astype(jnp.float32)
+            i32 = im[:, 0].astype(jnp.float32)
+            return st, jnp.sum(r32 * r32) + jnp.sum(i32 * i32)
+        per_fb, sig_fb, _, _ = marginal(chain(fwd16), state, xs, K_HI_HEAVY, n=3)
+        rate_fb = BLOCK / per_fb
+        log(f"tpu forward+spectra (pallas, bf16 out): {per_fb * 1e3:.3f} "
+            f"ms/block (signal {sig_fb:.0%}) -> {rate_fb:,.0f} samples/s")
+        del xs
+
+    # the reference driver protocol (hop-chunked streaming with per-hop
+    # first spectra, test/test.c:69-83) in its chained in-program form —
+    # the path the CLI runs (api.roundtrip_hopped); canonical m=1000,
+    # hop=100 (test/main.sh:3-6)
+    from sdft_tpu.ops.analysis import refresh_state
+    from sdft_tpu.ops.lti import sdft_hopped as hopped_lti
+
+    DRV_M, DRV_HOP, DRV_BLOCK = 1000, 100, 4000
+    plan_drv = Plan(DRV_M, window="hann", precision=FAST_PRECISION)
+
+    def drv_step(st, x):
+        _, hd = hopped_lti(plan_drv, st, x, DRV_HOP)
+        st, y = roundtrip_block_lti(plan_drv, st, x)
+        st = refresh_state(plan_drv, st)
+        return st, jnp.sum(y * y) + jnp.sum(hd)
+
+    xs_d = randn((K_HI, DRV_BLOCK))
+    per_d, sig_d, _, _ = marginal(chain(drv_step), init_state(plan_drv),
+                                  xs_d, K_HI)
+    rate_d = DRV_BLOCK / per_d
+    log(f"tpu driver protocol (m=1000 hop=100 chained): {per_d * 1e3:.3f} "
+        f"ms/block (signal {sig_d:.0%}) -> {rate_d:,.0f} samples/s")
+    del xs_d
+
     return rate, {
         "samples_per_s_block16k": round(rate2, 1),
         "aggregate_samples_per_s_8ch": round(rate_c, 1),
         "forward_spectra_samples_per_s": round(rate_f, 1) if rate_f else None,
+        "forward_spectra_bf16_samples_per_s":
+            round(rate_fb, 1) if rate_fb else None,
+        "driver_protocol_samples_per_s": round(rate_d, 1),
         "marginal_signal_fraction": round(sig, 4),
     }
 

@@ -210,6 +210,17 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
     aux_re = u_re * dmf_re[:] - u_im * dmf_im[:]
     aux_im = u_re * dmf_im[:] + u_im * dmf_re[:]
 
+    _finish_tile(plan, K, W, t, aux_re, aux_im, emit_dfts, emit_y,
+                 dft_re_ref, dft_im_ref, y_ref, synth_ref)
+
+
+def _finish_tile(plan: Plan, K: int, W: int, t, aux_re, aux_im,
+                 emit_dfts: bool, emit_y: bool,
+                 dft_re_ref, dft_im_ref, y_ref, synth_ref):
+    """Shared tile tail: Hermitian guards, window convolution, spectra/
+    synthesis emission — identical for the cumsum and Toeplitz variants."""
+    m = plan.dftsize
+
     # Hermitian edge guards (c/src/sdft/sdft.h:589-595): bins -g <-
     # conj(bin g) and bins (m-1)+g <- conj(bin (m-1)-g).  The DC-side guard
     # holds identically in this kernel: for real delta the exact
@@ -301,6 +312,388 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
             np.float32(plan.synthesis_weight) * y)
 
 
+
+def _toeplitz_blocks(delta, nt: int, K: int):
+    """Build the per-tile lower-triangular Toeplitz operators
+    Toep_t[k, j] = delta[t*K + k - j] (j <= k) as bf16 hi+lo splits, shape
+    (nt*K, K) each — pure broadcast/reshape/slice (no gathers): with
+    v = [d0, 0...0, d_{K-1}..d_1] of length 2K per tile, the row-major
+    reshape of K copies of v to width 2K-1 left-shifts row k by k, i.e.
+    rows become v[(c - k) mod 2K] = the Toeplitz diagonals.  The hi/lo
+    split happens on the tiny (nt, 2K) vectors BEFORE broadcasting, so the
+    O(M*K) expansion runs (twice) in bf16 — half the HBM traffic of one
+    f32 expansion."""
+    dt = delta.reshape(nt, K)
+    v = jnp.concatenate(
+        [dt[:, :1], jnp.zeros((nt, K), delta.dtype), dt[:, :0:-1]], axis=1)
+    # hi/lo via mantissa masking, NOT an astype round trip: XLA's algebraic
+    # simplifier folds f32 -> bf16 -> f32 convert chains to identity under
+    # excess precision, which silently turns (v - bf16(v)) into zero — on
+    # the chip the low split was exactly 0 and the contraction degraded to
+    # ~2^-9 relative (caught by the on-chip oracle gate; interpret mode,
+    # which upcasts, hid it).  The masked value is exactly representable in
+    # bf16, so the conversion below is lossless and unfoldable.
+    iv = lax.bitcast_convert_type(v, jnp.uint32)
+    hi_f32 = lax.bitcast_convert_type(iv & np.uint32(0xFFFF0000), jnp.float32)
+    v_hi = hi_f32.astype(jnp.bfloat16)
+    v_lo = (v - hi_f32).astype(jnp.bfloat16)
+
+    def expand(vv):
+        rolled = jnp.broadcast_to(vv[:, None, :], (nt, K, 2 * K))
+        rolled = rolled.reshape(nt, K * 2 * K)[:, :K * (2 * K - 1)]
+        return rolled.reshape(nt, K, 2 * K - 1)[:, :, :K].reshape(nt * K, K)
+
+    return expand(v_hi), expand(v_lo)
+
+
+@functools.lru_cache(maxsize=None)
+def _spectra_tables(plan: Plan, K: int):
+    """Per-plan device tables for the hoisted-Toeplitz spectra kernel.
+
+    Built once on the host with exact integer phases mod 2m (f64 -> f32)
+    and cached as device arrays — passed into the jitted launcher as
+    ARGUMENTS, not embedded literals, and into the kernel as
+    constant-index-map inputs (loaded to VMEM once per launch).  This kills
+    the old per-block t==0 scratch init, whose ~3M transcendental
+    evaluations cost more than the entire per-tile pipeline.
+
+    Returns (fine_re, fine_im, dmf_re, dmf_im, dre_hi, dre_lo, dim_hi,
+    dim_lo): fine[k, i] = T_i^k and dmf[k, i] = T_i^(-(k+1)) on the padded
+    bin axis i in [-PAD, mp+PAD), f32 planes plus the bf16 hi+lo split of
+    dmf for the MXU contraction.
+    """
+    m = plan.dftsize
+    n2 = 2 * m
+    W = _round_up(m, 128) + 2 * PAD
+    i = np.arange(W) - PAD
+    k = np.arange(K)
+    rf = (k[:, None] * i[None, :]) % n2
+    af = (-np.pi / m) * rf
+    fine_re = np.cos(af).astype(np.float32)
+    fine_im = np.sin(af).astype(np.float32)
+    rd = ((k[:, None] + 1) * i[None, :]) % n2
+    ad = (np.pi / m) * rd
+    dre = np.cos(ad).astype(np.float32)
+    dim = np.sin(ad).astype(np.float32)
+
+    import ml_dtypes  # pure numpy bf16: this cache must NOT run jnp ops —
+    bf16 = ml_dtypes.bfloat16  # under an active trace they'd cache tracers
+
+    def split(a):
+        hi = a.astype(bf16)
+        lo = (a - hi.astype(np.float32)).astype(bf16)
+        return hi, lo
+
+    dre_hi, dre_lo = split(dre)
+    dim_hi, dim_lo = split(dim)
+    return (fine_re, fine_im, dre, dim, dre_hi, dre_lo, dim_hi, dim_lo)
+
+
+@functools.lru_cache(maxsize=None)
+def _coarse_rows_host(plan: Plan, K: int):
+    """Host table C[j, i] = T_i^(j*K mod 2m) for the q distinct coarse
+    exponents (q = period of t*K mod 2m), padded bin axis.  f32."""
+    import math as _math
+
+    m = plan.dftsize
+    n2 = 2 * m
+    W = _round_up(m, 128) + 2 * PAD
+    q = n2 // _math.gcd(K, n2)
+    i = np.arange(W) - PAD
+    r = ((np.arange(q)[:, None] * K) * i[None, :]) % n2
+    ang = (-np.pi / m) * r
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _phase_rows_W(plan: Plan, offset, nt: int, K: int, coarse):
+    """row0[t, i] = T_i^((offset + t*K) mod 2m) on the padded bin axis.
+
+    Only ONE row of transcendentals is evaluated in-program (T_i^offset,
+    the traced part); the coarse factors T_i^(t*K) come from the cached
+    host table and combine by unit-phasor multiplication (~1 ulp), exactly
+    the fiddle_block trick (ops.twiddle) — the per-block q*W trig sweep
+    measured as a top prologue cost disappears.
+    """
+    m = plan.dftsize
+    n2 = 2 * m
+    W = _round_up(m, 128) + 2 * PAD
+    c_re, c_im = coarse
+    q = c_re.shape[0]
+    i = jnp.arange(W, dtype=jnp.int32) - PAD
+    r0 = jnp.mod(jnp.mod(offset.astype(jnp.int32), n2) * i, n2)
+    ang = (-np.pi / m) * r0.astype(jnp.float32)
+    o_re, o_im = jnp.cos(ang), jnp.sin(ang)
+    row_re = o_re[None, :] * c_re - o_im[None, :] * c_im
+    row_im = o_re[None, :] * c_im + o_im[None, :] * c_re
+    if nt > q:
+        reps = -(-nt // q)
+        row_re = jnp.tile(row_re, (reps, 1))[:nt]
+        row_im = jnp.tile(row_im, (reps, 1))[:nt]
+    return row_re[:nt], row_im[:nt]
+
+
+def _kernel_spectra(c0_ref, fix_ref, toep_hi_ref, toep_lo_ref,
+                    *refs, plan: Plan, tile_k: int, nfixed: int):
+    """Stateless spectra tile: out = conv(Toep @ dmf + c0 o dmf).
+
+    Every sequential or plan-constant quantity is hoisted into the launcher
+    or the cached tables (per-tile carry rows c0, the next accumulator, the
+    Hermitian top-edge fix columns, the demod tables and their bf16
+    splits), so grid steps are fully independent and contain no
+    transcendentals — the scheduler can overlap the tile\'s MXU contraction,
+    the short VPU carry/conv chain and the output DMA across steps with no
+    loop-carried dependency.  Per element: one 3-term bf16-split
+    contraction (MXU), one complex multiply-add and the window stencil.
+    """
+    K = tile_k
+    m = plan.dftsize
+    halo = WINDOW_HALO[plan.window]
+    wgt = plan.analysis_weight
+    c0t, c1t, c2t = (np.float32(c * wgt) for c in WINDOW_TAPS[plan.window])
+
+    hbm_tables = refs[:6]
+    dft_re_ref, dft_im_ref = refs[6], refs[7]
+    scratch_tables = refs[8:14]
+    sems = refs[14]
+    (dmf_re, dmf_im, dre_hi, dre_lo, dim_hi, dim_lo) = scratch_tables
+    t = pl.program_id(0)
+
+    # one-time bulk DMA of the demod tables HBM -> VMEM scratch: no per-step
+    # refetch (constant-index VMEM inputs cost ~1.6 us/tile extra, measured)
+    # and no in-kernel transcendentals (the old per-launch scratch init cost
+    # more than the whole tile pipeline)
+    @pl.when(t == 0)
+    def _load_tables():
+        for idx in range(6):
+            pltpu.make_async_copy(hbm_tables[idx], scratch_tables[idx],
+                                  sems.at[idx]).start()
+        for idx in range(6):
+            pltpu.make_async_copy(hbm_tables[idx], scratch_tables[idx],
+                                  sems.at[idx]).wait()
+
+    thi = toep_hi_ref[:]
+    tlo = toep_lo_ref[:]
+
+    def split3(hi, lo):
+        out = jnp.dot(thi, hi[:], preferred_element_type=jnp.float32)
+        out = out + jnp.dot(thi, lo[:], preferred_element_type=jnp.float32)
+        return out + jnp.dot(tlo, hi[:], preferred_element_type=jnp.float32)
+
+    r = 2 * (t - (t // 8) * 8)            # this tile's row pair in the block
+    c0_re = c0_ref[pl.ds(r, 1), :]
+    c0_im = c0_ref[pl.ds(r + 1, 1), :]
+    aux_re = split3(dre_hi, dre_lo) + (c0_re * dmf_re[:] - c0_im * dmf_im[:])
+    aux_im = split3(dim_hi, dim_lo) + (c0_re * dmf_im[:] + c0_im * dmf_re[:])
+
+    def conv(a):
+        out = c0t * a[:, PAD:PAD + m]
+        if halo >= 1:
+            out = out + c1t * (a[:, PAD - 1:PAD + m - 1]
+                               + a[:, PAD + 1:PAD + m + 1])
+        if halo >= 2:
+            out = out + c2t * (a[:, PAD - 2:PAD + m - 2]
+                               + a[:, PAD + 2:PAD + m + 2])
+        return out
+
+    dft_re_ref[:] = conv(aux_re).astype(dft_re_ref.dtype)
+    dft_im_ref[:] = conv(aux_im).astype(dft_im_ref.dtype)
+    if nfixed:
+        # Hermitian top-edge columns precomputed in the launcher
+        dft_re_ref[:, m - nfixed:m] = (
+            fix_ref[:, :nfixed].astype(dft_re_ref.dtype))
+        dft_im_ref[:, m - nfixed:m] = (
+            fix_ref[:, nfixed:].astype(dft_im_ref.dtype))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
+                             interpret: bool = False, tile_k: int = TILE_K,
+                             layout: str = "packed",
+                             out_dtype: str | None = None):
+    """Forward spectra via the hoisted-Toeplitz kernel.
+
+    The launcher computes every sequential quantity with dense batched XLA
+    ops over all tiles at once, leaving the Pallas grid a stateless map
+    (see _kernel_spectra):
+
+      * per-tile totals     S_t = delta_tile @ fine        (one real GEMM)
+      * rotated prefix      c0_t = (acc + excl-cumsum(row0_t S_t)) conj(row0_t)
+      * the next carry      acc\' = acc + sum_t row0_t S_t
+      * top-edge fixes      from raw aux at the 2*halo top bins — computed
+                            in the cheap per-column form
+                            aux[t,k,c] = (c0[t,c] + cumsum_k(d fine))
+                                         * conj(fine[k,c]) * base[c]
+                            (O(nt*K*2halo) elementwise, no GEMM, no
+                            Toeplitz materialization)
+    """
+    m = plan.dftsize
+    n2 = 2 * m
+    W = _round_up(m, 128) + 2 * PAD
+    (M,) = samples.shape
+    K = tile_k
+    Mp = _round_up(M, K)
+    nt = Mp // K
+    halo = WINDOW_HALO[plan.window]
+    hiP = lax.Precision.HIGHEST
+    (fine_re, fine_im, dmf_re, dmf_im,
+     dre_hi, dre_lo, dim_hi, dim_lo, *coarse) = tables
+
+    samples = samples.astype(jnp.float32)
+    line = jnp.concatenate([state.delayline.astype(jnp.float32), samples])
+    delta = (samples - line[:M]).reshape(1, M)
+    if Mp != M:
+        delta = jnp.pad(delta, ((0, 0), (0, Mp - M)))
+    new_delayline = line[M:].astype(plan.precision.td_dtype)
+    dt = delta.reshape(nt, K)
+
+    # hoisted totals + prefix (the ops.lti machinery on the padded bin axis)
+    s_re = jnp.dot(dt, fine_re, precision=hiP,
+                   preferred_element_type=jnp.float32)
+    s_im = jnp.dot(dt, fine_im, precision=hiP,
+                   preferred_element_type=jnp.float32)
+    row_re, row_im = _phase_rows_W(plan, state.offset, nt, K, coarse)
+    rt_re = row_re * s_re - row_im * s_im
+    rt_im = row_re * s_im + row_im * s_re
+
+    # accumulator on the padded axis, Hermitian-mirror seeded (left pad
+    # columns must mirror the interior so the guard-free conv edge holds)
+    acc_in = jnp.zeros((2, W), jnp.float32)
+    acc_in = acc_in.at[:, PAD:PAD + m].set(
+        state.accumulator.T.astype(jnp.float32))
+    for g in range(1, halo + 1):
+        acc_in = acc_in.at[0, PAD - g].set(acc_in[0, PAD + g])
+        acc_in = acc_in.at[1, PAD - g].set(-acc_in[1, PAD + g])
+
+    inc_re = jnp.cumsum(rt_re, axis=0)
+    inc_im = jnp.cumsum(rt_im, axis=0)
+    pre_re = acc_in[0] + jnp.concatenate(
+        [jnp.zeros_like(inc_re[:1]), inc_re[:-1]], axis=0)
+    pre_im = acc_in[1] + jnp.concatenate(
+        [jnp.zeros_like(inc_im[:1]), inc_im[:-1]], axis=0)
+    c0_re = pre_re * row_re + pre_im * row_im          # prefix * conj(row0)
+    c0_im = pre_im * row_re - pre_re * row_im
+    # pack 8 tiles' (re, im) row pairs per fetched (16, W) block — no
+    # zero-padding waste, and Pallas re-fetches only every 8th grid step
+    ntp = _round_up(nt, 8)
+    c0 = jnp.stack([c0_re, c0_im], axis=1)
+    if ntp != nt:
+        c0 = jnp.concatenate(
+            [c0, jnp.zeros((ntp - nt, 2, W), jnp.float32)], axis=0)
+    c0 = c0.reshape(ntp * 2, W)
+
+    acc_out = jnp.stack([acc_in[0, PAD:PAD + m] + inc_re[-1, PAD:PAD + m],
+                         acc_in[1, PAD:PAD + m] + inc_im[-1, PAD:PAD + m]],
+                        axis=-1)
+
+    # Hermitian top-edge output columns (only the top `halo` bins need the
+    # guard-corrected stencil), from raw aux at the top 2*halo bins in the
+    # cheap per-column form — O(nt*K*2halo) elementwise work.
+    wgt = plan.analysis_weight
+    taps = [np.float32(c * wgt) for c in WINDOW_TAPS[plan.window]]
+    if halo:
+        ncol = 2 * halo
+        sl = slice(PAD + m - ncol, PAD + m)
+        f_re = fine_re[:, sl]                           # (K, ncol)
+        f_im = fine_im[:, sl]
+        b_re = fine_re[1, sl]                           # T_i = fine[1]
+        b_im = -fine_im[1, sl]                          # base = conj(T_i)
+        v_re = dt[:, :, None] * f_re[None, :, :]        # (nt, K, ncol)
+        v_im = dt[:, :, None] * f_im[None, :, :]
+        cum_re = jnp.cumsum(v_re, axis=1) + c0_re[:, None, sl]
+        cum_im = jnp.cumsum(v_im, axis=1) + c0_im[:, None, sl]
+        # aux = cum * conj(fine) * base
+        cf_re = cum_re * f_re[None] + cum_im * f_im[None]
+        cf_im = cum_im * f_re[None] - cum_re * f_im[None]
+        ac_re = cf_re * b_re - cf_im * b_im
+        ac_im = cf_re * b_im + cf_im * b_re
+
+        def acol(g):
+            j = ncol - 1 - g
+            return ac_re[..., j], ac_im[..., j]
+
+        a0r, a0i = acol(0)
+        a1r, a1i = acol(1)
+        if halo == 1:
+            cols_re = [taps[0] * a0r + 2 * taps[1] * a1r]
+            cols_im = [taps[0] * a0i]
+        else:
+            a2r, a2i = acol(2)
+            a3r, a3i = acol(3)
+            cols_re = [taps[0] * a1r + taps[1] * (a2r + a0r)
+                       + taps[2] * (a3r + a1r),
+                       taps[0] * a0r + 2 * taps[1] * a1r + 2 * taps[2] * a2r]
+            cols_im = [taps[0] * a1i + taps[1] * (a2i + a0i)
+                       + taps[2] * (a3i - a1i),
+                       taps[0] * a0i]
+        fix = jnp.concatenate(
+            [jnp.stack(cols_re, axis=-1), jnp.stack(cols_im, axis=-1)],
+            axis=-1).reshape(nt * K, 2 * halo)
+    else:
+        fix = jnp.zeros((nt * K, 2), jnp.float32)
+
+    toep_hi, toep_lo = _toeplitz_blocks(delta, nt, K)
+
+    odt = jnp.dtype(out_dtype) if out_dtype else jnp.float32
+    if odt != jnp.float32 and layout != "planar":
+        raise ValueError("non-f32 spectra require layout=\'planar\'")
+
+    nfix = fix.shape[-1]
+    table_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM; the
+    scratch = [                                        # kernel DMAs at t==0
+        pltpu.VMEM((K, W), jnp.float32),   # dmf re
+        pltpu.VMEM((K, W), jnp.float32),   # dmf im
+        pltpu.VMEM((K, W), jnp.bfloat16),  # dmf re hi
+        pltpu.VMEM((K, W), jnp.bfloat16),  # dmf re lo
+        pltpu.VMEM((K, W), jnp.bfloat16),  # dmf im hi
+        pltpu.VMEM((K, W), jnp.bfloat16),  # dmf im lo
+        pltpu.SemaphoreType.DMA((6,)),
+    ]
+    # NOTE a software-pipelined two-stage variant (MXU dots for tile t into
+    # ping-pong scratch while the VPU finishes tile t-1) measured SLOWER
+    # (6.3 vs 5.1 ms/block at m=4096): the extra (K, W) f32 slot write+read
+    # through VMEM costs more than the stage overlap recovers (docs/PERF.md).
+    grid = (nt,)
+    c0_idx = lambda t: (t // 8, 0)                              # noqa: E731
+    fix_idx = lambda t: (t, 0)                                  # noqa: E731
+    toep_idx = lambda t: (t, 0)                                 # noqa: E731
+    out_idx = lambda t: (t, 0)                                  # noqa: E731
+    kernel = functools.partial(_kernel_spectra, plan=plan, tile_k=K,
+                               nfixed=halo)
+    dft_re, dft_im = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((16, W), c0_idx,
+                         memory_space=pltpu.VMEM),            # c0 row pairs x8
+            pl.BlockSpec((K, nfix), fix_idx,
+                         memory_space=pltpu.VMEM),            # fix cols
+            pl.BlockSpec((K, K), toep_idx,
+                         memory_space=pltpu.VMEM),            # toep hi
+            pl.BlockSpec((K, K), toep_idx,
+                         memory_space=pltpu.VMEM),            # toep lo
+            table_spec, table_spec,                           # dmf f32
+            table_spec, table_spec, table_spec, table_spec,   # dmf bf16 hi/lo
+        ],
+        out_shape=(jax.ShapeDtypeStruct((M, m), odt),) * 2,
+        out_specs=(pl.BlockSpec((K, m), out_idx,
+                                memory_space=pltpu.VMEM),) * 2,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(c0, fix, toep_hi, toep_lo, dmf_re, dmf_im,
+      dre_hi, dre_lo, dim_hi, dim_lo)
+
+    new_state = State(
+        offset=jnp.mod(state.offset + M, n2).astype(state.offset.dtype),
+        delayline=new_delayline,
+        accumulator=acc_out.astype(state.accumulator.dtype),
+    )
+    if layout == "planar":
+        return new_state, (dft_re, dft_im)
+    return new_state, jnp.stack([dft_re, dft_im], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9))
 def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
             interpret: bool = False, cumsum_mode: str = "mxu2",
@@ -367,34 +760,37 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
         raise ValueError("non-f32 spectra require layout='planar' (packing "
                          "would re-read the spectra and defeat the purpose)")
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),            # offset (1,1)
+        pl.BlockSpec((1, Mp), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),            # delta (full)
+        pl.BlockSpec((2, W), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),            # acc_in
+        pl.BlockSpec((2, W), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),            # synth row
+    ]
+    inputs = [offset, delta, acc_in, synth]
     kernel = functools.partial(_kernel, plan=plan, emit_dfts=emit_dfts,
                                emit_y=emit_y, cumsum_mode=cumsum_mode,
                                tile_k=tile_k)
+    scratch = [
+        pltpu.VMEM((tile_k, W), jnp.float32),  # fine_re
+        pltpu.VMEM((tile_k, W), jnp.float32),  # fine_im
+        pltpu.VMEM((tile_k, W), jnp.float32),  # demod_fine re
+        pltpu.VMEM((tile_k, W), jnp.float32),  # demod_fine im
+        pltpu.VMEM((2, W), jnp.float32),       # acc carry
+    ]
     outs = pl.pallas_call(
         kernel,
         grid=(nt,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),            # offset (1,1)
-            pl.BlockSpec((1, Mp), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),            # delta (full)
-            pl.BlockSpec((2, W), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),            # acc_in
-            pl.BlockSpec((2, W), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),            # synth row
-        ],
+        in_specs=in_specs,
         out_shape=tuple(out_shapes),
         out_specs=tuple(out_specs),
-        scratch_shapes=[
-            pltpu.VMEM((tile_k, W), jnp.float32),  # fine_re
-            pltpu.VMEM((tile_k, W), jnp.float32),  # fine_im
-            pltpu.VMEM((tile_k, W), jnp.float32),  # demod_fine re
-            pltpu.VMEM((tile_k, W), jnp.float32),  # demod_fine im
-            pltpu.VMEM((2, W), jnp.float32),       # acc carry
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(offset, delta, acc_in, synth)
+    )(*inputs)
 
     outs = list(outs)
     dfts = y = None
@@ -422,8 +818,8 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
 
 
 def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
-                         cumsum_mode="mxu2", tile_k=TILE_K, layout="packed",
-                         out_dtype=None):
+                         cumsum_mode="toephoist", tile_k=TILE_K,
+                         layout="packed", out_dtype=None):
     """Fused forward analysis.
 
     Returns (state, dfts) with dfts packed (M, m, 2), or — with
@@ -433,7 +829,17 @@ def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
     ``out_dtype="bfloat16"`` (planar only) additionally halves the O(M*m)
     spectra write — the forward path's roofline; the internal scan stays
     exact f32, only the emitted planes are rounded.
+
+    ``cumsum_mode`` selects the kernel: "toephoist" (default) is the
+    hoisted-Toeplitz stateless kernel (_kernel_spectra); the in-kernel
+    scan variants ("mxu2"/"mxu3"/"vpu"/"mxu_f32") remain for the fused
+    round trip and A/B measurement.
     """
+    if cumsum_mode == "toephoist":
+        tables = (_spectra_tables(plan, tile_k)
+                  + _coarse_rows_host(plan, tile_k))
+        return _launch_spectra_toeplitz(plan, state, samples, tables,
+                                        interpret, tile_k, layout, out_dtype)
     new_state, dfts, _ = _launch(plan, state, samples, True, False, interpret,
                                  cumsum_mode, tile_k, layout, out_dtype)
     return new_state, dfts
