@@ -152,7 +152,21 @@ def lti_supported(plan: Plan, M: int) -> bool:
     return True
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+@functools.lru_cache(maxsize=None)
+def _lti_consts_device(plan: Plan, K: int, fd: str):
+    """The _lti_constants tables as cached DEVICE arrays in the plan's FD
+    dtype — passed into the jitted programs as arguments rather than
+    embedded literals (multi-MB constant blobs per (plan, k_tile, block)
+    variant made flagship programs slow to compile; VERDICT r2 weak#9)."""
+    return tuple(jnp.asarray(a, fd) for a in _lti_constants(plan, K))
+
+
+@functools.lru_cache(maxsize=None)
+def _hop_consts_device(plan: Plan, hop: int, fd: str):
+    """_fine_host's hop-tile phase table as cached device arrays."""
+    return tuple(jnp.asarray(a, fd) for a in _fine_host(plan, hop))
+
+
 def roundtrip_block_lti(plan: Plan, state: State, samples: jnp.ndarray,
                         k_tile: int | None = None):
     """Fused forward+inverse round trip of one block.
@@ -180,11 +194,19 @@ def roundtrip_block_lti(plan: Plan, state: State, samples: jnp.ndarray,
     (which is what a vmap over the 1-channel form would compile to; the
     reference analogue is sdft_sdft_nd's flat loop, c/src/sdft/sdft.h:622).
     """
+    samples = jnp.asarray(samples)
+    K = k_tile or default_k_tile(samples.shape[-1])
+    consts = _lti_consts_device(plan, K, str(plan.precision.fd_dtype))
     if samples.ndim == 1:
         st = jax.tree.map(lambda a: a[None], state)
-        new_st, y = _roundtrip_nd(plan, st, samples[None], k_tile)
+        new_st, y = _roundtrip_jit(plan, st, samples[None], consts, K)
         return jax.tree.map(lambda a: a[0], new_st), y[0]
-    return _roundtrip_nd(plan, state, samples, k_tile)
+    return _roundtrip_jit(plan, state, samples, consts, K)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _roundtrip_jit(plan: Plan, state: State, samples, consts, k_tile: int):
+    return _roundtrip_nd(plan, state, samples, consts, k_tile)
 
 
 def _phase_rows(offset, nt: int, K: int, m: int, fd):
@@ -214,18 +236,17 @@ def _phase_rows(offset, nt: int, K: int, m: int, fd):
 
 
 def _roundtrip_nd(plan: Plan, state: State, samples: jnp.ndarray,
-                  k_tile: int | None = None):
+                  consts, k_tile: int):
     m = plan.dftsize
     n2 = 2 * m
     td = plan.precision.td_dtype
     fd = plan.precision.fd_dtype
     C, M = samples.shape
-    K = k_tile or default_k_tile(M)
+    K = k_tile
     nt = -(-M // K)
     Mp = nt * K
 
-    fine_re, fine_im, P, Q, GLT = (jnp.asarray(a, fd)
-                                   for a in _lti_constants(plan, K))
+    fine_re, fine_im, P, Q, GLT = consts
 
     samples = samples.astype(td)
     line = jnp.concatenate([state.delayline, samples], axis=-1)
@@ -273,7 +294,6 @@ def _roundtrip_nd(plan: Plan, state: State, samples: jnp.ndarray,
     return new_state, y
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def roundtrip_hopped_chain(plan: Plan, state: State, xs: jnp.ndarray,
                            hop: int, k_tile: int | None = None,
                            refresh_every: int | None = 1):
@@ -308,6 +328,18 @@ def roundtrip_hopped_chain(plan: Plan, state: State, xs: jnp.ndarray,
       (nb, B//hop, m, 2) [or (nb, C, B//hop, m, 2)] and ys (nb, B)
       [or (nb, C, B)].
     """
+    xs = jnp.asarray(xs)
+    K = k_tile or default_k_tile(xs.shape[-1])
+    fd = str(plan.precision.fd_dtype)
+    lti_consts = _lti_consts_device(plan, K, fd)
+    hop_consts = _hop_consts_device(plan, hop, fd)
+    return _chain_jit(plan, state, xs, lti_consts, hop_consts, hop, K,
+                      refresh_every)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def _chain_jit(plan: Plan, state: State, xs, lti_consts, hop_consts,
+               hop: int, k_tile: int, refresh_every: int | None):
     from .analysis import refresh_state
 
     def _refresh(st: State) -> State:
@@ -315,10 +347,17 @@ def roundtrip_hopped_chain(plan: Plan, state: State, xs: jnp.ndarray,
             return refresh_state(plan, st)
         return jax.vmap(lambda s: refresh_state(plan, s))(st)
 
+    def _batched(fn, st, x, *args):
+        if x.ndim == 1:
+            stb = jax.tree.map(lambda a: a[None], st)
+            new_st, out = fn(plan, stb, x[None], *args)
+            return jax.tree.map(lambda a: a[0], new_st), out[0]
+        return fn(plan, st, x, *args)
+
     def body(carry, x):
         st, since = carry
-        _, hd = sdft_hopped(plan, st, x, hop)
-        st, y = roundtrip_block_lti(plan, st, x, k_tile)
+        _, hd = _batched(_hopped_nd, st, x, hop_consts, hop)
+        st, y = _batched(_roundtrip_nd, st, x, lti_consts, k_tile)
         if refresh_every is None:
             return (st, since), (hd, y)
         if refresh_every == 1:
@@ -333,7 +372,6 @@ def roundtrip_hopped_chain(plan: Plan, state: State, xs: jnp.ndarray,
     return state, hdfts, ys
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
 def sdft_hopped(plan: Plan, state: State, samples: jnp.ndarray, hop: int):
     """Forward analysis emitting one spectrum per hop (at samples 0, hop,
     2*hop, ... of the block) — the reference driver protocol, which keeps
@@ -361,14 +399,22 @@ def sdft_hopped(plan: Plan, state: State, samples: jnp.ndarray, hop: int):
 
     Channels fold into the contraction row dims (see roundtrip_block_lti).
     """
+    samples = jnp.asarray(samples)
+    consts = _hop_consts_device(plan, hop, str(plan.precision.fd_dtype))
     if samples.ndim == 1:
         st = jax.tree.map(lambda a: a[None], state)
-        new_st, d = _hopped_nd(plan, st, samples[None], hop)
+        new_st, d = _hopped_jit(plan, st, samples[None], consts, hop)
         return jax.tree.map(lambda a: a[0], new_st), d[0]
-    return _hopped_nd(plan, state, samples, hop)
+    return _hopped_jit(plan, state, samples, consts, hop)
 
 
-def _hopped_nd(plan: Plan, state: State, samples: jnp.ndarray, hop: int):
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _hopped_jit(plan: Plan, state: State, samples, consts, hop: int):
+    return _hopped_nd(plan, state, samples, consts, hop)
+
+
+def _hopped_nd(plan: Plan, state: State, samples: jnp.ndarray, consts,
+               hop: int):
     m = plan.dftsize
     n2 = 2 * m
     td = plan.precision.td_dtype
@@ -378,7 +424,7 @@ def _hopped_nd(plan: Plan, state: State, samples: jnp.ndarray, hop: int):
     nt = -(-M // hop)
     Mp = nt * hop
 
-    fine_re, fine_im = (jnp.asarray(a, fd) for a in _fine_host(plan, hop))
+    fine_re, fine_im = consts
     if plan.roi is not None:
         first, last = plan.roi
         roi_mask = ((np.arange(m) >= first) & (np.arange(m) < last))

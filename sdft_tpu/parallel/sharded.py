@@ -40,7 +40,8 @@ from ..plan import Plan
 from ..state import State
 from ..windows import WINDOW_HALO, Window
 from ..ops.convolve import window_convolve
-from ..ops.lti import K_TILE, _lti_constants
+from ..ops.lti import (K_TILE, _hop_consts_device,
+                        _lti_consts_device)
 from ..ops.twiddle import exponent_dtype, fiddle_rows, synthesis_twiddles
 
 # Sharding specs for the batched State pytree: accumulator shards over bins,
@@ -442,11 +443,10 @@ def _sharded_roundtrip_jit(plan: Plan, mesh: Mesh, state: State, samples):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _sharded_roundtrip_lti_jit(plan: Plan, mesh: Mesh, state: State, samples):
+def _sharded_roundtrip_lti_jit(plan: Plan, mesh: Mesh, state: State, samples,
+                               consts):
     """Collapsed-LTI round trip over the mesh (sdft_tpu.ops.lti sharded)."""
     m_total = samples.shape[-1]
-    fd = plan.precision.fd_dtype
-    consts = tuple(jnp.asarray(a, fd) for a in _lti_constants(plan, K_TILE)[:4])
     body = functools.partial(_roundtrip_local_lti, plan, m_total=m_total)
     rep = P(None, None)  # plan constants replicate to every device
     return jax.shard_map(
@@ -490,13 +490,10 @@ def _sharded_roundtrip_transform_jit(plan: Plan, mesh: Mesh, state: State,
     )(state, samples)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 5))
 def _sharded_hopped_jit(plan: Plan, mesh: Mesh, state: State, samples,
-                        hop: int):
+                        consts, hop: int):
     m_total = samples.shape[-1]
-    fd = plan.precision.fd_dtype
-    from ..ops.lti import _fine_host
-    consts = tuple(jnp.asarray(a, fd) for a in _fine_host(plan, hop))
     body = functools.partial(_hopped_local, plan, hop=hop, m_total=m_total)
     rep = P(None, None)
     return jax.shard_map(
@@ -532,7 +529,8 @@ def sharded_sdft_hopped(plan: Plan, mesh: Mesh, state: State, samples,
     if (M // nt) % hop:
         raise ValueError(
             f"local time block {M // nt} not a multiple of hop {hop}")
-    return _sharded_hopped_jit(plan, mesh, state, samples, hop)
+    consts = _hop_consts_device(plan, hop, str(plan.precision.fd_dtype))
+    return _sharded_hopped_jit(plan, mesh, state, samples, consts, hop)
 
 
 def sharded_sdft(plan: Plan, mesh: Mesh, state: State, samples):
@@ -591,5 +589,7 @@ def sharded_roundtrip(plan: Plan, mesh: Mesh, state: State, samples,
         return _sharded_roundtrip_transform_jit(plan, mesh, state, samples,
                                                 transform)
     if collapsed:
-        return _sharded_roundtrip_lti_jit(plan, mesh, state, samples)
+        consts = _lti_consts_device(plan, K_TILE,
+                                    str(plan.precision.fd_dtype))[:4]
+        return _sharded_roundtrip_lti_jit(plan, mesh, state, samples, consts)
     return _sharded_roundtrip_jit(plan, mesh, state, samples)
