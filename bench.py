@@ -107,6 +107,22 @@ def bench_tpu():
         f"-> {rate:,.0f} samples/s")
     del xs
 
+    # the split4 accuracy mode (4-pass masked bf16 split GEMMs, ~1e-4-class
+    # synthesized-sample accuracy instead of exact f32; Precision docstring):
+    # the throughput-first streaming configuration
+    from sdft_tpu import Precision
+    plan_s4 = Plan(M_BINS, window="hann",
+                   precision=Precision("float32", "float32", mxu="split4"))
+    xs = randn((K_HI_FLAG, BLOCK))
+    many_s4 = chain(lambda st, x: roundtrip_block_lti(plan_s4, st, x,
+                                                      K_TILE_1CH))
+    per_s4, sig_s4, _, _ = marginal(many_s4, init_state(plan_s4), xs,
+                                    K_HI_FLAG)
+    rate_s4 = BLOCK / per_s4
+    log(f"tpu roundtrip (split4, k_tile={K_TILE_1CH}): {per_s4 * 1e3:.3f} "
+        f"ms/block (signal {sig_s4:.0%}) -> {rate_s4:,.0f} samples/s")
+    del xs
+
     # consistency check at a second block size: per-sample cost must agree
     # with the flagship block's within the FLOP model (VERDICT r1 weak#6).
     # k_tile=None exercises the auto heuristic (ops.lti.default_k_tile).
@@ -130,6 +146,17 @@ def bench_tpu():
         f"{per_c * 1e3:.3f} ms/block (signal {sig_c:.0%}) "
         f"-> {rate_c:,.0f} aggregate samples/s "
         f"({BLOCK_8CH / per_c:,.0f} per channel)")
+
+    plan_s4c = Plan(M_BINS, window="hann",
+                    precision=Precision("float32", "float32", mxu="split4"))
+    many_c4 = chain(lambda st, x: roundtrip_block_lti(plan_s4c, st, x,
+                                                      K_TILE_8CH))
+    per_c4, sig_c4, _, _ = marginal(many_c4, init_state(plan_s4c, channels=C),
+                                    xs_c, K_HI_HEAVY)
+    rate_c4 = C * BLOCK_8CH / per_c4
+    log(f"tpu roundtrip {C}-channel (split4, k_tile={K_TILE_8CH}): "
+        f"{per_c4 * 1e3:.3f} ms/block (signal {sig_c4:.0%}) "
+        f"-> {rate_c4:,.0f} aggregate samples/s")
     del xs_c
 
     # diagnostic: forward analysis emitting all spectra (Pallas kernel,
@@ -184,7 +211,9 @@ def bench_tpu():
 
     return rate, {
         "samples_per_s_block16k": round(rate2, 1),
+        "roundtrip_split4_samples_per_s": round(rate_s4, 1),
         "aggregate_samples_per_s_8ch": round(rate_c, 1),
+        "aggregate_samples_per_s_8ch_split4": round(rate_c4, 1),
         "forward_spectra_samples_per_s": round(rate_f, 1) if rate_f else None,
         "forward_spectra_bf16_samples_per_s":
             round(rate_fb, 1) if rate_fb else None,

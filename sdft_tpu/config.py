@@ -48,7 +48,12 @@ class Precision:
     #: the reference 1e-7 comparator gate, and per-block refresh cannot heal
     #: it (the rounding is intra-block GEMM error, not carry drift).  Use it
     #: only for accuracy-tolerant spectrogram/monitoring workloads; "highest"
-    #: (the default) passes the gate.  Ignored for f64.
+    #: (the default) passes the gate.  "split4" (collapsed round trip only)
+    #: splits BOTH operands into masked bf16 hi+lo halves and takes all four
+    #: cross products — the exact product of the split operands, ~16-17
+    #: mantissa bits at 4/6 the HIGHEST pass count — for throughput-first
+    #: streaming where the synthesized-sample tolerance (~1e-4 class)
+    #: matters rather than the 1e-7 spectra gate.  Ignored for f64.
     mxu: str = "highest"
 
     def __post_init__(self):
@@ -56,9 +61,9 @@ class Precision:
             raise ValueError(f"unsupported td dtype {self.td!r}; pick from {_REAL_DTYPES}")
         if self.fd not in _REAL_DTYPES:
             raise ValueError(f"unsupported fd dtype {self.fd!r}; pick from {_REAL_DTYPES}")
-        if self.mxu not in ("highest", "high"):
+        if self.mxu not in ("highest", "high", "split4"):
             raise ValueError(f"unsupported mxu mode {self.mxu!r}; "
-                             f"pick 'highest' or 'high'")
+                             f"pick 'highest', 'high' or 'split4'")
 
     def resolve(self) -> "Precision":
         """Downgrade float64 requests to float32 when x64 is disabled."""

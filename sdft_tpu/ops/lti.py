@@ -157,14 +157,66 @@ def _lti_consts_device(plan: Plan, K: int, fd: str):
     """The _lti_constants tables as cached DEVICE arrays in the plan's FD
     dtype — passed into the jitted programs as arguments rather than
     embedded literals (multi-MB constant blobs per (plan, k_tile, block)
-    variant made flagship programs slow to compile; VERDICT r2 weak#9)."""
-    return tuple(jnp.asarray(a, fd) for a in _lti_constants(plan, K))
+    variant made flagship programs slow to compile; VERDICT r2 weak#9).
+
+    ensure_compile_time_eval: the first fetch may happen under an active
+    trace (callers are used inside larger jitted programs); without it the
+    conversions would produce tracers and poison the cache."""
+    with jax.ensure_compile_time_eval():
+        return tuple(jnp.asarray(a, fd) for a in _lti_constants(plan, K))
 
 
 @functools.lru_cache(maxsize=None)
 def _hop_consts_device(plan: Plan, hop: int, fd: str):
     """_fine_host's hop-tile phase table as cached device arrays."""
-    return tuple(jnp.asarray(a, fd) for a in _fine_host(plan, hop))
+    with jax.ensure_compile_time_eval():
+        return tuple(jnp.asarray(a, fd) for a in _fine_host(plan, hop))
+
+
+def _bf16_split_host(a):
+    """Masked bf16 hi+lo split of a host array (hi+lo == f32(a) to ~2^-17)."""
+    import ml_dtypes
+
+    a32 = np.ascontiguousarray(np.asarray(a, np.float32))
+    hi32 = (a32.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
+    return (hi32.astype(ml_dtypes.bfloat16),
+            (a32 - hi32).astype(ml_dtypes.bfloat16))
+
+
+@functools.lru_cache(maxsize=None)
+def _lti_consts_split_device(plan: Plan, K: int):
+    """Plan constants pre-split into bf16 hi/lo device pairs for the
+    "split4" MXU mode (fine_re, fine_im, GLT, P^T, Q^T — the y-dots use the
+    transposed adjoints directly)."""
+    fine_re, fine_im, P, Q, GLT = _lti_constants(plan, K)
+    out = []
+    with jax.ensure_compile_time_eval():
+        for a in (fine_re, fine_im, GLT, P.T, Q.T):
+            hi, lo = _bf16_split_host(a)
+            out += [jnp.asarray(hi), jnp.asarray(lo)]
+    return tuple(out)
+
+
+def _split_mask(a):
+    """In-trace masked bf16 hi+lo split.  Masking, NOT an astype round trip:
+    XLA folds f32->bf16->f32 convert chains to identity under excess
+    precision, which would zero the lo half (see kernels.analysis_pallas)."""
+    a = a.astype(jnp.float32)
+    iv = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(iv & np.uint32(0xFFFF0000),
+                                      jnp.float32)
+    return hi.astype(jnp.bfloat16), (a - hi).astype(jnp.bfloat16)
+
+
+def _dot4(a, b_hi, b_lo):
+    """Exact product of split operands: all four bf16 cross products,
+    accumulated in f32 — 4 single-pass MXU dots vs HIGHEST's 6."""
+    a_hi, a_lo = _split_mask(a)
+
+    def d(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+    return (d(a_hi, b_hi) + d(a_hi, b_lo)) + (d(a_lo, b_hi) + d(a_lo, b_lo))
 
 
 def roundtrip_block_lti(plan: Plan, state: State, samples: jnp.ndarray,
@@ -196,7 +248,11 @@ def roundtrip_block_lti(plan: Plan, state: State, samples: jnp.ndarray,
     """
     samples = jnp.asarray(samples)
     K = k_tile or default_k_tile(samples.shape[-1])
-    consts = _lti_consts_device(plan, K, str(plan.precision.fd_dtype))
+    if (plan.precision.resolve().mxu == "split4"
+            and plan.precision.resolve().fd == "float32"):
+        consts = _lti_consts_split_device(plan, K)
+    else:
+        consts = _lti_consts_device(plan, K, str(plan.precision.fd_dtype))
     if samples.ndim == 1:
         st = jax.tree.map(lambda a: a[None], state)
         new_st, y = _roundtrip_jit(plan, st, samples[None], consts, K)
@@ -246,7 +302,13 @@ def _roundtrip_nd(plan: Plan, state: State, samples: jnp.ndarray,
     nt = -(-M // K)
     Mp = nt * K
 
-    fine_re, fine_im, P, Q, GLT = consts
+    split4 = (plan.precision.resolve().mxu == "split4"
+              and plan.precision.resolve().fd == "float32")
+    if split4:
+        (fre_h, fre_l, fim_h, fim_l, glt_h, glt_l,
+         pt_h, pt_l, qt_h, qt_l) = consts
+    else:
+        fine_re, fine_im, P, Q, GLT = consts
 
     samples = samples.astype(td)
     line = jnp.concatenate([state.delayline, samples], axis=-1)
@@ -256,9 +318,15 @@ def _roundtrip_nd(plan: Plan, state: State, samples: jnp.ndarray,
         delta = jnp.pad(delta, ((0, 0), (0, Mp - M)))
     dt = delta.reshape(C, nt, K)
 
-    hi = plan.precision.mxu_precision
-    totals_re = jnp.dot(dt, fine_re, precision=hi, preferred_element_type=fd)
-    totals_im = jnp.dot(dt, fine_im, precision=hi, preferred_element_type=fd)
+    if split4:
+        totals_re = _dot4(dt, fre_h, fre_l)
+        totals_im = _dot4(dt, fim_h, fim_l)
+    else:
+        hi = plan.precision.mxu_precision
+        totals_re = jnp.dot(dt, fine_re, precision=hi,
+                            preferred_element_type=fd)
+        totals_im = jnp.dot(dt, fine_im, precision=hi,
+                            preferred_element_type=fd)
 
     # row0[c,t,j] = T_j^(e0), e0 = offset_c + t*K (mod 2m), exact int phases
     row0_re, row0_im = _phase_rows(state.offset, nt, K, m, fd)
@@ -281,9 +349,13 @@ def _roundtrip_nd(plan: Plan, state: State, samples: jnp.ndarray,
     c0_re = prefix_re * row0_re + prefix_im * row0_im
     c0_im = prefix_im * row0_re - prefix_re * row0_im
 
-    y = (jnp.dot(dt, GLT, precision=hi, preferred_element_type=fd)
-         + jnp.dot(c0_re, P.T, precision=hi, preferred_element_type=fd)
-         + jnp.dot(c0_im, Q.T, precision=hi, preferred_element_type=fd))
+    if split4:
+        y = (_dot4(dt, glt_h, glt_l) + _dot4(c0_re, pt_h, pt_l)
+             + _dot4(c0_im, qt_h, qt_l))
+    else:
+        y = (jnp.dot(dt, GLT, precision=hi, preferred_element_type=fd)
+             + jnp.dot(c0_re, P.T, precision=hi, preferred_element_type=fd)
+             + jnp.dot(c0_im, Q.T, precision=hi, preferred_element_type=fd))
     y = y.reshape(C, Mp)[:, :M].astype(td)
 
     new_state = State(

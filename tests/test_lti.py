@@ -268,3 +268,24 @@ def test_roundtrip_hopped_validates_shapes():
         roundtrip_hopped(plan, st, np.zeros((2, 65)), 8)
     with pytest.raises(ValueError, match="blocks must be"):
         roundtrip_hopped(plan, st, np.zeros(64), 8)
+
+
+def test_split4_mxu_mode_parity_class():
+    """The "split4" throughput mode (4-pass masked bf16 split GEMMs) must
+    track the exact-f32 path within its documented ~2^-16 relative class,
+    with identical carry semantics."""
+    plan4 = Plan(96, window="hann",
+                 precision=Precision("float32", "float32", mxu="split4"))
+    planH = Plan(96, window="hann", precision=F32)
+    x = _signal(384, seed=6).astype(np.float32)
+
+    s4, sh = init_state(plan4), init_state(planH)
+    s4, y4 = roundtrip_block_lti(plan4, s4, x)
+    sh, yh = roundtrip_block_lti(planH, sh, x)
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(yh), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s4.accumulator),
+                               np.asarray(sh.accumulator), atol=1e-2)
+    # second block: carried state stays interchangeable at the same class
+    s4, y4b = roundtrip_block_lti(plan4, s4, x)
+    sh, yhb = roundtrip_block_lti(planH, sh, x)
+    np.testing.assert_allclose(np.asarray(y4b), np.asarray(yhb), atol=1e-3)
