@@ -56,5 +56,6 @@ echo "== examples =="
 python examples/latency.py
 python examples/stft_window_test.py
 python examples/transform.py
+python examples/streaming.py
 
 echo "verify OK"

@@ -72,3 +72,30 @@ def test_roundtrip_parity_on_test_wav(ref_sdft_module, test_wav):
     y = np.concatenate(ys)
 
     np.testing.assert_allclose(y, y_ref, atol=1e-7)
+
+
+def test_multichannel_endless_streaming_m4096():
+    """BASELINE.json config 5: multi-channel endless streaming at m=4096
+    with chunked block processing and carry state — chunking invariance
+    (any hop partition yields the same output, the plan-state contract of
+    test/test.c:69-83) at the flagship dftsize, multi-channel."""
+    from sdft_tpu import Plan, Precision, init_state, roundtrip
+    from sdft_tpu.stream import Streamer, iter_blocks
+
+    plan = Plan(4096, window="hann",
+                precision=Precision("float64", "float64"))
+    C, n = 2, 3 * 4096
+    rng = np.random.default_rng(12)
+    x = np.clip(rng.standard_normal((C, n)), -3, 3) / 2
+
+    # one-shot
+    st = init_state(plan, channels=C)
+    _, y_once = roundtrip(plan, st, x)
+
+    # chunked with carried state, two different partitions
+    for block in (1024, 4096):
+        s = Streamer(plan, channels=C)
+        y_parts = [np.asarray(s.roundtrip(b)) for b in iter_blocks(x, block)]
+        y_chunked = np.concatenate(y_parts, axis=-1)
+        np.testing.assert_allclose(y_chunked, np.asarray(y_once), atol=1e-12)
+        assert s.samples_processed == n
