@@ -249,3 +249,26 @@ def test_split4_roundtrip_accuracy_on_tpu(oracle, signal):
     d = eng.sdft(blk.astype(np.float64))
     y_ref = eng.isdft(d)
     np.testing.assert_allclose(np.asarray(y), y_ref, atol=5e-4)
+
+
+def test_roundtrip_hopped_chain_on_tpu(oracle, signal):
+    """The chained driver-protocol program (api.roundtrip_hopped — what the
+    CLI dispatches) on the real chip vs the f64 oracle: per-hop first
+    spectra and synthesized samples, with the in-chain accumulator
+    refresh."""
+    from sdft_tpu import roundtrip_hopped
+
+    hop, B, nb = 128, 1024, 4
+    plan = Plan(M_BINS, window="hann", precision=FAST_PRECISION)
+    eng = oracle(M_BINS, "hann", td_bits=64)
+
+    x = signal[:nb * B]
+    state = init_state(plan)
+    state, hd, ys = roundtrip_hopped(plan, state, x.reshape(nb, B), hop)
+    got_d = to_complex(np.asarray(hd).reshape(-1, M_BINS, 2))
+    got_y = np.asarray(ys).reshape(-1)
+
+    d_ref = eng.sdft(x.astype(np.float64))
+    y_ref = eng.isdft(d_ref)
+    np.testing.assert_allclose(got_d, d_ref[::hop], atol=2e-7)
+    np.testing.assert_allclose(got_y, y_ref, atol=1e-4)
