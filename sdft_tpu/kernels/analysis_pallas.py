@@ -835,6 +835,8 @@ def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
     scan variants ("mxu2"/"mxu3"/"vpu"/"mxu_f32") remain for the fused
     round trip and A/B measurement.
     """
+    if cumsum_mode not in ("toephoist", "mxu2", "mxu3", "vpu", "mxu_f32"):
+        raise ValueError(f"unknown cumsum_mode {cumsum_mode!r}")
     if cumsum_mode == "toephoist":
         tables = (_spectra_tables(plan, tile_k)
                   + _coarse_rows_host(plan, tile_k))
