@@ -32,6 +32,12 @@ if not TPU_TIER:
     # the config update below wins as long as no backend is initialized yet.
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    # persistent compilation cache: the CPU tier spends minutes recompiling
+    # identical programs across runs (local XLA honors the cache; the hosted
+    # TPU plugin does not, so the tpu tier skips it)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/sdft_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pathlib  # noqa: E402
 
