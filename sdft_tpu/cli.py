@@ -130,7 +130,8 @@ def main(argv=None) -> int:
         # padding only influences carry state past the end of the stream,
         # and outputs are truncated back to the true size below.
         state = init_state(plan)
-        bytes_per_block = max(1, (block // hopsize) * dftsize * 8)
+        bin_bytes = 8 if fd == "float32" else 16  # packed re/im pair
+        bytes_per_block = max(1, (block // hopsize) * dftsize * bin_bytes)
         nb = int(min(32, max(1, _SUPER_DFT_BYTES // bytes_per_block)))
         seg = nb * block
         padded = -(-size // seg) * seg

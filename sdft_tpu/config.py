@@ -78,11 +78,17 @@ class Precision:
     @property
     def mxu_precision(self):
         """lax.Precision for f32 MXU contractions (f64 dots are unaffected
-        by this on CPU; f64 is not a TPU dtype)."""
+        by this on CPU; f64 is not a TPU dtype).
+
+        "split4" maps to HIGHEST here: only the collapsed round trip
+        implements the 4-pass split-operand scheme; every other contraction
+        (hopped analysis, sharded programs, refresh) falls back to exact
+        f32 rather than silently degrading to the 3-pass "high" class.
+        """
         from jax import lax
 
-        return (lax.Precision.HIGHEST if self.mxu == "highest"
-                else lax.Precision.HIGH)
+        return (lax.Precision.HIGH if self.mxu == "high"
+                else lax.Precision.HIGHEST)
 
     # dtype accessors (resolved against the runtime x64 flag)
     @property

@@ -53,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..plan import Plan
 from ..state import State
 from ..windows import WINDOW_HALO, WINDOW_TAPS
+from ..ops.lti import _bf16_split_host, _split_mask
 from ..ops.twiddle import synthesis_twiddles
 
 PAD = 64          # bin-axis padding each side (total W = m + 128, lane aligned)
@@ -326,17 +327,13 @@ def _toeplitz_blocks(delta, nt: int, K: int):
     dt = delta.reshape(nt, K)
     v = jnp.concatenate(
         [dt[:, :1], jnp.zeros((nt, K), delta.dtype), dt[:, :0:-1]], axis=1)
-    # hi/lo via mantissa masking, NOT an astype round trip: XLA's algebraic
-    # simplifier folds f32 -> bf16 -> f32 convert chains to identity under
-    # excess precision, which silently turns (v - bf16(v)) into zero — on
-    # the chip the low split was exactly 0 and the contraction degraded to
-    # ~2^-9 relative (caught by the on-chip oracle gate; interpret mode,
-    # which upcasts, hid it).  The masked value is exactly representable in
-    # bf16, so the conversion below is lossless and unfoldable.
-    iv = lax.bitcast_convert_type(v, jnp.uint32)
-    hi_f32 = lax.bitcast_convert_type(iv & np.uint32(0xFFFF0000), jnp.float32)
-    v_hi = hi_f32.astype(jnp.bfloat16)
-    v_lo = (v - hi_f32).astype(jnp.bfloat16)
+    # masked split (ops.lti._split_mask), NOT an astype round trip: XLA's
+    # algebraic simplifier folds f32 -> bf16 -> f32 convert chains to
+    # identity under excess precision, which silently turns (v - bf16(v))
+    # into zero — on the chip the low split was exactly 0 and the
+    # contraction degraded to ~2^-9 relative (caught by the on-chip oracle
+    # gate; interpret mode, which upcasts, hid it).
+    v_hi, v_lo = _split_mask(v)
 
     def expand(vv):
         rolled = jnp.broadcast_to(vv[:, None, :], (nt, K, 2 * K))
@@ -350,10 +347,11 @@ def _toeplitz_blocks(delta, nt: int, K: int):
 def _spectra_tables(plan: Plan, K: int):
     """Per-plan device tables for the hoisted-Toeplitz spectra kernel.
 
-    Built once on the host with exact integer phases mod 2m (f64 -> f32)
-    and cached as device arrays — passed into the jitted launcher as
-    ARGUMENTS, not embedded literals, and into the kernel as
-    constant-index-map inputs (loaded to VMEM once per launch).  This kills
+    Built once on the host with exact integer phases mod 2m (f64 -> f32),
+    converted to device arrays under ensure_compile_time_eval (safe to
+    first-fetch inside a trace), and passed into the jitted launcher as
+    ARGUMENTS, not embedded literals; the kernel bulk-DMAs them to VMEM
+    scratch once per launch.  This kills
     the old per-block t==0 scratch init, whose ~3M transcendental
     evaluations cost more than the entire per-tile pipeline.
 
@@ -376,17 +374,15 @@ def _spectra_tables(plan: Plan, K: int):
     dre = np.cos(ad).astype(np.float32)
     dim = np.sin(ad).astype(np.float32)
 
-    import ml_dtypes  # pure numpy bf16: this cache must NOT run jnp ops —
-    bf16 = ml_dtypes.bfloat16  # under an active trace they'd cache tracers
-
-    def split(a):
-        hi = a.astype(bf16)
-        lo = (a - hi.astype(np.float32)).astype(bf16)
-        return hi, lo
-
-    dre_hi, dre_lo = split(dre)
-    dim_hi, dim_lo = split(dim)
-    return (fine_re, fine_im, dre, dim, dre_hi, dre_lo, dim_hi, dim_lo)
+    dre_hi, dre_lo = _bf16_split_host(dre)
+    dim_hi, dim_lo = _bf16_split_host(dim)
+    # DEVICE arrays (ensure_compile_time_eval escapes any active trace —
+    # caching host numpy here would re-upload ~5-15 MB of tables on every
+    # forward block instead of once per plan)
+    with jax.ensure_compile_time_eval():
+        return tuple(jnp.asarray(a) for a in
+                     (fine_re, fine_im, dre, dim,
+                      dre_hi, dre_lo, dim_hi, dim_lo))
 
 
 @functools.lru_cache(maxsize=None)
@@ -402,7 +398,9 @@ def _coarse_rows_host(plan: Plan, K: int):
     i = np.arange(W) - PAD
     r = ((np.arange(q)[:, None] * K) * i[None, :]) % n2
     ang = (-np.pi / m) * r
-    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+    with jax.ensure_compile_time_eval():
+        return (jnp.asarray(np.cos(ang).astype(np.float32)),
+                jnp.asarray(np.sin(ang).astype(np.float32)))
 
 
 def _phase_rows_W(plan: Plan, offset, nt: int, K: int, coarse):

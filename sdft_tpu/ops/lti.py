@@ -403,7 +403,11 @@ def roundtrip_hopped_chain(plan: Plan, state: State, xs: jnp.ndarray,
     xs = jnp.asarray(xs)
     K = k_tile or default_k_tile(xs.shape[-1])
     fd = str(plan.precision.fd_dtype)
-    lti_consts = _lti_consts_device(plan, K, fd)
+    if (plan.precision.resolve().mxu == "split4"
+            and plan.precision.resolve().fd == "float32"):
+        lti_consts = _lti_consts_split_device(plan, K)
+    else:
+        lti_consts = _lti_consts_device(plan, K, fd)
     hop_consts = _hop_consts_device(plan, hop, fd)
     return _chain_jit(plan, state, xs, lti_consts, hop_consts, hop, K,
                       refresh_every)

@@ -289,3 +289,19 @@ def test_split4_mxu_mode_parity_class():
     s4, y4b = roundtrip_block_lti(plan4, s4, x)
     sh, yhb = roundtrip_block_lti(planH, sh, x)
     np.testing.assert_allclose(np.asarray(y4b), np.asarray(yhb), atol=1e-3)
+
+
+def test_split4_chained_driver_protocol():
+    """Regression: the chained driver protocol must accept split4 plans
+    (it selects the split consts like roundtrip_block_lti does), with the
+    hop spectra staying on the exact-f32 path bit-identically."""
+    from sdft_tpu import roundtrip_hopped
+
+    x = _signal(3 * 128, seed=8).astype(np.float32).reshape(3, 128)
+    plan4 = Plan(96, precision=Precision("float32", "float32", mxu="split4"))
+    planH = Plan(96, precision=Precision("float32", "float32"))
+
+    s4, hd4, y4 = roundtrip_hopped(plan4, init_state(plan4), x, 32)
+    sh, hdh, yh = roundtrip_hopped(planH, init_state(planH), x, 32)
+    np.testing.assert_array_equal(np.asarray(hd4), np.asarray(hdh))
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(yh), atol=1e-3)
