@@ -572,6 +572,8 @@ def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
     c0_im = pre_im * row_re - pre_re * row_im
     # pack 8 tiles' (re, im) row pairs per fetched (16, W) block — no
     # zero-padding waste, and Pallas re-fetches only every 8th grid step
+    # (measured faster than per-tile static (8, W) blocks, 4.99 vs 5.15
+    # ms/block at the flagship config, despite the dynamic sublane slice)
     ntp = _round_up(nt, 8)
     c0 = jnp.stack([c0_re, c0_im], axis=1)
     if ntp != nt:
