@@ -11,7 +11,6 @@ loops per frame; at 350k frames that matters for test latency).
 
 from __future__ import annotations
 
-import sys
 import wave
 
 import numpy as np
@@ -36,9 +35,9 @@ def read_wav(path: str, mono: bool = True):
     scaler = 2.0 ** (bits - 1) - 1
 
     frames = np.frombuffer(raw, dtype=np.uint8).reshape(-1, width)
-    if sys.byteorder == "big":  # WAV is little-endian on disk
-        frames = frames[:, ::-1]
-    # Little-endian assemble into int32.
+    # The per-byte shift assembly below decodes the on-disk little-endian
+    # layout independent of host byte order (np.uint8 views carry no
+    # endianness) — no host-dependent flipping.
     acc = np.zeros(len(frames), dtype=np.int64)
     for b in range(width):
         acc |= frames[:, b].astype(np.int64) << (8 * b)
@@ -68,9 +67,12 @@ def write_wav(path: str, samples, samplerate: int, bits: int = 32):
 
     data = np.clip(data, -1.0, 1.0)
     quant = np.round(data * (scaler + 0.5) - 0.5).astype(np.int64)
+    # clip in SIGNED range first, then apply the 8-bit unsigned offset —
+    # clipping after the +128 offset would clamp the whole positive half
+    # of the waveform to byte 127 (~ -0.004 on decode)
+    quant = np.clip(quant, -(2 ** (bits - 1)), 2 ** (bits - 1) - 1)
     if bits == 8:
         quant += 128
-    quant = np.clip(quant, -(2 ** (bits - 1)), 2 ** (bits - 1) - 1)
 
     frames = np.zeros((quant.size, width), dtype=np.uint8)
     for b in range(width):

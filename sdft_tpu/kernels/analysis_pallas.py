@@ -78,7 +78,7 @@ def plan_supported(plan: Plan, M: int) -> bool:
         plan.precision.resolve().td == "float32"
         and plan.precision.resolve().fd == "float32"
         and plan.dftsize >= 128
-        and 2 * plan.dftsize * plan.dftsize < 2 ** 31  # int32 exact phases
+        and (2 * plan.dftsize - 1) * (plan.dftsize - 1) < 2 ** 31  # int32 phases
         and plan.roi is None  # partial-band plans take the XLA path
     )
 
@@ -104,7 +104,11 @@ def _cumsum_rows(v, K, mode="mxu2"):
         out = jnp.zeros_like(v)
         rem = v
         for _ in range(int(mode[-1])):
-            part = rem.astype(jnp.bfloat16)
+            # masked split (ops.lti._split_mask), not an astype round trip:
+            # XLA folds f32->bf16->f32 convert chains to identity under
+            # excess precision, which would zero `rem` after the first pass
+            # and silently degrade the prefix sum to ~8-bit
+            part, _lo = _split_mask(rem)
             out = out + jnp.dot(L, part, preferred_element_type=jnp.float32)
             rem = rem - part.astype(jnp.float32)
         return out

@@ -115,8 +115,6 @@ def _lti_constants(plan: Plan, K: int):
     scale = plan.analysis_weight * plan.synthesis_weight
     aR = np.zeros(m + 2 * halo)
     aI = np.zeros(m + 2 * halo)
-    if plan.latency == 1.0:
-        s_im = np.zeros(m)  # kernel skips the imaginary dot entirely
     for g in range(-halo, halo + 1):
         aR[halo + g: halo + g + m] += scale * c[abs(g)] * s_re
         aI[halo + g: halo + g + m] += -scale * c[abs(g)] * s_im
@@ -174,11 +172,16 @@ def _hop_consts_device(plan: Plan, hop: int, fd: str):
 
 
 def _bf16_split_host(a):
-    """Masked bf16 hi+lo split of a host array (hi+lo == f32(a) to ~2^-17)."""
+    """Masked bf16 hi+lo split of a host array (hi+lo == f32(a) to ~2^-17).
+
+    Adds 0x8000 to the bit pattern before masking — round-to-nearest on the
+    dropped half-word (the carry propagates correctly through the exponent),
+    halving the hi error vs plain truncation."""
     import ml_dtypes
 
     a32 = np.ascontiguousarray(np.asarray(a, np.float32))
-    hi32 = (a32.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
+    hi32 = ((a32.view(np.uint32) + np.uint32(0x8000))
+            & np.uint32(0xFFFF0000)).view(np.float32)
     return (hi32.astype(ml_dtypes.bfloat16),
             (a32 - hi32).astype(ml_dtypes.bfloat16))
 
@@ -200,11 +203,13 @@ def _lti_consts_split_device(plan: Plan, K: int):
 def _split_mask(a):
     """In-trace masked bf16 hi+lo split.  Masking, NOT an astype round trip:
     XLA folds f32->bf16->f32 convert chains to identity under excess
-    precision, which would zero the lo half (see kernels.analysis_pallas)."""
+    precision, which would zero the lo half (see kernels.analysis_pallas).
+    The +0x8000 rounds the dropped half-word to nearest (carry propagates
+    through the exponent), matching astype's round-to-nearest accuracy."""
     a = a.astype(jnp.float32)
     iv = jax.lax.bitcast_convert_type(a, jnp.uint32)
-    hi = jax.lax.bitcast_convert_type(iv & np.uint32(0xFFFF0000),
-                                      jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        (iv + np.uint32(0x8000)) & np.uint32(0xFFFF0000), jnp.float32)
     return hi.astype(jnp.bfloat16), (a - hi).astype(jnp.bfloat16)
 
 

@@ -23,13 +23,14 @@ from ..plan import Plan
 def exponent_dtype(m: int):
     """Integer dtype for the exact phase products ``(e * i) mod 2m``.
 
-    The factors are bounded by e < 2m and i < m, so int32 is exact while
-    2m*m < 2^31 (m <= 32768).  Larger plans — the reference allocates any
-    size (c/src/sdft/sdft.h:413-450) — promote to int64, which requires the
-    x64 (f64 parity) mode; the f32 fast path keeps no meaningful phase
-    resolution at those sizes anyway.
+    The factors are bounded by e <= 2m-1 and i <= m-1, so int32 is exact
+    while (2m-1)*(m-1) < 2^31, i.e. m <= 32768 (at m=32768 the largest
+    product is 2,147,385,345 < 2^31-1).  Larger plans — the reference
+    allocates any size (c/src/sdft/sdft.h:413-450) — promote to int64,
+    which requires the x64 (f64 parity) mode; the f32 fast path keeps no
+    meaningful phase resolution at those sizes anyway.
     """
-    if 2 * m * m < 2 ** 31:
+    if (2 * m - 1) * (m - 1) < 2 ** 31:
         return jnp.int32
     if not jax.config.jax_enable_x64:
         raise ValueError(

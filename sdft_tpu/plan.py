@@ -28,7 +28,8 @@ import dataclasses
 from .config import Precision, DEFAULT_PRECISION
 from .windows import Window, WINDOW_HALO
 
-#: Largest dftsize for which (2m * m) fits in int32 exact-phase arithmetic.
+#: Largest dftsize for which the exact-phase products (2m-1)*(m-1) fit in
+#: int32 (the working check lives in ops.twiddle.exponent_dtype).
 #: Larger plans are allowed — the reference allocates any size
 #: (c/src/sdft/sdft.h:413-450) — and promote exponent products to int64
 #: (ops.twiddle.exponent_dtype), which requires the x64/f64 parity mode;

@@ -161,6 +161,8 @@ def _add_roofline(out, cost, seconds):
     peak_flops, peak_bw = device_peaks()
     if peak_bw:
         out["hbm_roofline_fraction"] = (cost.hbm_bytes / seconds) / peak_bw
+    if peak_flops:
+        out["mxu_roofline_fraction"] = (cost.flops / seconds) / peak_flops
 
 
 def benchmark_marginal(step, state, xs, *, k_lo: int = 4, k_hi: int = 12,

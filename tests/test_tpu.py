@@ -272,3 +272,20 @@ def test_roundtrip_hopped_chain_on_tpu(oracle, signal):
     y_ref = eng.isdft(d_ref)
     np.testing.assert_allclose(got_d, d_ref[::hop], atol=2e-7)
     np.testing.assert_allclose(got_y, y_ref, atol=1e-4)
+
+
+def test_fused_roundtrip_kernel_on_tpu(oracle, signal):
+    """roundtrip_block_fused (the in-kernel mxu2 cumsum path) on the real
+    chip vs the f64 oracle — previously only interpret-mode tested, which
+    hides XLA/Mosaic convert-folding hazards in the bf16 split."""
+    from sdft_tpu.kernels import roundtrip_block_fused
+
+    plan = Plan(M_BINS, window="hann", precision=FAST_PRECISION)
+    eng = oracle(M_BINS, "hann", td_bits=64)
+
+    state = init_state(plan)
+    blk = signal[:BLOCK]
+    state, y = roundtrip_block_fused(plan, state, blk)
+    d = eng.sdft(blk.astype(np.float64))
+    y_ref = eng.isdft(d)
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4)
