@@ -102,3 +102,20 @@ def test_cli_mesh_matches_single_device(test_wav, tmp_path):
 
     np.testing.assert_allclose(outs[1][0], outs[0][0], atol=1e-12)
     np.testing.assert_allclose(outs[1][1], outs[0][1], atol=1e-12)
+
+
+def test_wav_bit_depths_roundtrip(tmp_path):
+    """write_wav/read_wav round trip at every bit depth — regression for
+    the 8-bit path, which clipped after the unsigned offset and clamped
+    the entire positive half of the waveform to ~zero."""
+    from sdft_tpu.io.wav import read_wav, write_wav
+
+    rng = np.random.default_rng(3)
+    x = np.clip(rng.standard_normal(512), -1, 1)
+    x[:4] = [1.0, -1.0, 0.5, -0.5]  # pin full-scale positives explicitly
+    for bits, tol in ((8, 1.2e-2), (16, 5e-5), (24, 2e-7), (32, 1e-9)):
+        p = str(tmp_path / f"rt{bits}.wav")
+        write_wav(p, x, 44100, bits=bits)
+        y, sr = read_wav(p)
+        assert sr == 44100
+        np.testing.assert_allclose(y, x, atol=tol)
