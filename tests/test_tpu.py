@@ -234,8 +234,9 @@ def test_sharded_programs_execute_on_tpu(signal):
 
 def test_split4_roundtrip_accuracy_on_tpu(oracle, signal):
     """The split4 throughput mode on the chip vs the f64 oracle: must hold
-    its documented ~1e-4 synthesized-sample class (measured 6.7e-5 at
-    m=4096/block=32768; exact-f32 "highest" measures ~9e-7)."""
+    its documented ~1e-4 synthesized-sample class (measured 2.0e-5 at
+    m=4096/block=32768 with rounded splits; exact-f32 "highest" measures
+    ~9e-7)."""
     from sdft_tpu import Precision
 
     plan = Plan(M_BINS, window="hann",
