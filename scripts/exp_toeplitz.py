@@ -52,10 +52,14 @@ def main():
     xs = jax.jit(lambda: jax.random.normal(jax.random.key(0), (K_HI, BLOCK),
                                            jnp.float32))()
     for mode in sys.argv[1:] or ("mxu2", "toeplitz", "toepconv"):
-        odt = "bfloat16" if mode.endswith("+bf16") else None
-        cm = mode.removesuffix("+bf16")
+        odt = "bfloat16" if "+bf16" in mode else None
+        cm = mode.replace("+bf16", "")
+        tk = 128
+        if "@" in cm:
+            cm, tk = cm.split("@")[0], int(cm.split("@")[1])
         step = lambda st, x: forward_block_pallas(plan, st, x, layout="planar",
-                                                  cumsum_mode=cm, out_dtype=odt)
+                                                  cumsum_mode=cm, tile_k=tk,
+                                                  out_dtype=odt)
         per, sig = marginal(chain(step), state, xs)
         print(f"{mode}: {per*1e3:.3f} ms/block (signal {sig:.0%}) "
               f"-> {BLOCK/per:,.0f} samples/s", flush=True)

@@ -58,6 +58,13 @@ from ..ops.twiddle import synthesis_twiddles
 
 PAD = 64          # bin-axis padding each side (total W = m + 128, lane aligned)
 TILE_K = 128      # samples per grid step (lane-aligned slices)
+#: Tile for the hoisted-Toeplitz spectra kernel.  Its MXU work per SAMPLE is
+#: proportional to the tile length (each sample contracts over its tile's
+#: deltas), so smaller tiles cut compute until per-tile overheads win:
+#: measured at m=4096/65536 (ms/block, f32): 128 -> 4.53, 112 -> 4.04,
+#: 96 -> 4.06, 80 -> 4.05, 64 -> 4.16, 32 -> 5.41.  96 balances the f32
+#: plateau with the bf16-output optimum (64) and keeps tables small.
+SPECTRA_TILE_K = 96
 
 
 def pallas_supported() -> bool:
@@ -380,13 +387,19 @@ def _spectra_tables(plan: Plan, K: int):
 
     dre_hi, dre_lo = _bf16_split_host(dre)
     dim_hi, dim_lo = _bf16_split_host(dim)
+    # Stack the split planes into the (3K, W) right operand of the single
+    # deep contraction [thi | thi | tlo] @ [hi; lo; hi] — one 384-deep dot
+    # measured ~10% faster end-to-end than three 128-deep dots, and
+    # pre-stacking here avoids a 6.5 MB per-tile VMEM concat.
+    b_re = np.concatenate([dre_hi, dre_lo, dre_hi], axis=0)
+    b_im = np.concatenate([dim_hi, dim_lo, dim_hi], axis=0)
+    b_all = np.concatenate([b_re, b_im], axis=1)        # (3K, 2W)
     # DEVICE arrays (ensure_compile_time_eval escapes any active trace —
     # caching host numpy here would re-upload ~5-15 MB of tables on every
     # forward block instead of once per plan)
     with jax.ensure_compile_time_eval():
         return tuple(jnp.asarray(a) for a in
-                     (fine_re, fine_im, dre, dim,
-                      dre_hi, dre_lo, dim_hi, dim_lo))
+                     (fine_re, fine_im, dre, dim, b_all))
 
 
 @functools.lru_cache(maxsize=None)
@@ -435,7 +448,8 @@ def _phase_rows_W(plan: Plan, offset, nt: int, K: int, coarse):
 
 
 def _kernel_spectra(c0_ref, fix_ref, toep_hi_ref, toep_lo_ref,
-                    *refs, plan: Plan, tile_k: int, nfixed: int):
+                    *refs, plan: Plan, tile_k: int, nfixed: int,
+                    dma_tables: bool = True):
     """Stateless spectra tile: out = conv(Toep @ dmf + c0 o dmf).
 
     Every sequential or plan-constant quantity is hoisted into the launcher
@@ -453,39 +467,48 @@ def _kernel_spectra(c0_ref, fix_ref, toep_hi_ref, toep_lo_ref,
     wgt = plan.analysis_weight
     c0t, c1t, c2t = (np.float32(c * wgt) for c in WINDOW_TAPS[plan.window])
 
-    hbm_tables = refs[:6]
-    dft_re_ref, dft_im_ref = refs[6], refs[7]
-    scratch_tables = refs[8:14]
-    sems = refs[14]
-    (dmf_re, dmf_im, dre_hi, dre_lo, dim_hi, dim_lo) = scratch_tables
     t = pl.program_id(0)
+    if dma_tables:
+        # one-time bulk DMA of the demod tables HBM -> VMEM scratch: no
+        # per-step refetch (constant-index VMEM inputs cost ~1.6 us/tile,
+        # measured) and no in-kernel transcendentals (the old per-launch
+        # scratch init cost more than the whole tile pipeline)
+        hbm_tables = refs[:3]
+        dft_re_ref, dft_im_ref = refs[3], refs[4]
+        scratch_tables = refs[5:8]
+        sems = refs[8]
+        (dmf_re, dmf_im, b_all) = scratch_tables
 
-    # one-time bulk DMA of the demod tables HBM -> VMEM scratch: no per-step
-    # refetch (constant-index VMEM inputs cost ~1.6 us/tile extra, measured)
-    # and no in-kernel transcendentals (the old per-launch scratch init cost
-    # more than the whole tile pipeline)
-    @pl.when(t == 0)
-    def _load_tables():
-        for idx in range(6):
-            pltpu.make_async_copy(hbm_tables[idx], scratch_tables[idx],
-                                  sems.at[idx]).start()
-        for idx in range(6):
-            pltpu.make_async_copy(hbm_tables[idx], scratch_tables[idx],
-                                  sems.at[idx]).wait()
+        @pl.when(t == 0)
+        def _load_tables():
+            for idx in range(3):
+                pltpu.make_async_copy(hbm_tables[idx], scratch_tables[idx],
+                                      sems.at[idx]).start()
+            for idx in range(3):
+                pltpu.make_async_copy(hbm_tables[idx], scratch_tables[idx],
+                                      sems.at[idx]).wait()
+    else:
+        # interpret mode: tables arrive as whole-array VMEM inputs (the
+        # DMA staging confuses the interpreter's pl.when lowering and its
+        # performance does not matter there)
+        (dmf_re, dmf_im, b_all) = refs[:3]
+        dft_re_ref, dft_im_ref = refs[3], refs[4]
 
-    thi = toep_hi_ref[:]
-    tlo = toep_lo_ref[:]
-
-    def split3(hi, lo):
-        out = jnp.dot(thi, hi[:], preferred_element_type=jnp.float32)
-        out = out + jnp.dot(thi, lo[:], preferred_element_type=jnp.float32)
-        return out + jnp.dot(tlo, hi[:], preferred_element_type=jnp.float32)
+    # the 3-term bf16 split product for BOTH planes as ONE contraction:
+    # [thi | thi | tlo] (K, 3K) @ [[hi;lo;hi]_re | [hi;lo;hi]_im] (3K, 2W)
+    # — a single 384-deep, 2W-wide MXU dot (pre-stacked table, one DMA;
+    # the A concat is a 98 kB VMEM copy per tile).  Measured 13.1 -> 14.5M
+    # samples/s over three separate 128-deep dots per plane.
+    W = _round_up(m, 128) + 2 * PAD
+    A = jnp.concatenate([toep_hi_ref[:], toep_hi_ref[:], toep_lo_ref[:]],
+                        axis=1)
+    dots = jnp.dot(A, b_all[:], preferred_element_type=jnp.float32)
 
     r = 2 * (t - (t // 8) * 8)            # this tile's row pair in the block
     c0_re = c0_ref[pl.ds(r, 1), :]
     c0_im = c0_ref[pl.ds(r + 1, 1), :]
-    aux_re = split3(dre_hi, dre_lo) + (c0_re * dmf_re[:] - c0_im * dmf_im[:])
-    aux_im = split3(dim_hi, dim_lo) + (c0_re * dmf_im[:] + c0_im * dmf_re[:])
+    aux_re = dots[:, :W] + (c0_re * dmf_re[:] - c0_im * dmf_im[:])
+    aux_im = dots[:, W:] + (c0_re * dmf_im[:] + c0_im * dmf_re[:])
 
     def conv(a):
         out = c0t * a[:, PAD:PAD + m]
@@ -537,8 +560,7 @@ def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
     nt = Mp // K
     halo = WINDOW_HALO[plan.window]
     hiP = lax.Precision.HIGHEST
-    (fine_re, fine_im, dmf_re, dmf_im,
-     dre_hi, dre_lo, dim_hi, dim_lo, *coarse) = tables
+    (fine_re, fine_im, dmf_re, dmf_im, b_all, *coarse) = tables
 
     samples = samples.astype(jnp.float32)
     line = jnp.concatenate([state.delayline.astype(jnp.float32), samples])
@@ -599,8 +621,8 @@ def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
         sl = slice(PAD + m - ncol, PAD + m)
         f_re = fine_re[:, sl]                           # (K, ncol)
         f_im = fine_im[:, sl]
-        b_re = fine_re[1, sl]                           # T_i = fine[1]
-        b_im = -fine_im[1, sl]                          # base = conj(T_i)
+        base_re = fine_re[1, sl]                        # T_i = fine[1]
+        base_im = -fine_im[1, sl]                       # base = conj(T_i)
         v_re = dt[:, :, None] * f_re[None, :, :]        # (nt, K, ncol)
         v_im = dt[:, :, None] * f_im[None, :, :]
         cum_re = jnp.cumsum(v_re, axis=1) + c0_re[:, None, sl]
@@ -608,8 +630,8 @@ def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
         # aux = cum * conj(fine) * base
         cf_re = cum_re * f_re[None] + cum_im * f_im[None]
         cf_im = cum_im * f_re[None] - cum_re * f_im[None]
-        ac_re = cf_re * b_re - cf_im * b_im
-        ac_im = cf_re * b_im + cf_im * b_re
+        ac_re = cf_re * base_re - cf_im * base_im
+        ac_im = cf_re * base_im + cf_im * base_re
 
         def acol(g):
             j = ncol - 1 - g
@@ -642,16 +664,17 @@ def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
         raise ValueError("non-f32 spectra require layout=\'planar\'")
 
     nfix = fix.shape[-1]
-    table_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM; the
-    scratch = [                                        # kernel DMAs at t==0
-        pltpu.VMEM((K, W), jnp.float32),   # dmf re
-        pltpu.VMEM((K, W), jnp.float32),   # dmf im
-        pltpu.VMEM((K, W), jnp.bfloat16),  # dmf re hi
-        pltpu.VMEM((K, W), jnp.bfloat16),  # dmf re lo
-        pltpu.VMEM((K, W), jnp.bfloat16),  # dmf im hi
-        pltpu.VMEM((K, W), jnp.bfloat16),  # dmf im lo
-        pltpu.SemaphoreType.DMA((6,)),
-    ]
+    if interpret:
+        table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scratch = []
+    else:
+        table_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # HBM; the kernel
+        scratch = [                                        # DMAs at t==0
+            pltpu.VMEM((K, W), jnp.float32),           # dmf re
+            pltpu.VMEM((K, W), jnp.float32),           # dmf im
+            pltpu.VMEM((3 * K, 2 * W), jnp.bfloat16),  # stacked B re|im
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
     # NOTE a software-pipelined two-stage variant (MXU dots for tile t into
     # ping-pong scratch while the VPU finishes tile t-1) measured SLOWER
     # (6.3 vs 5.1 ms/block at m=4096): the extra (K, W) f32 slot write+read
@@ -662,7 +685,7 @@ def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
     toep_idx = lambda t: (t, 0)                                 # noqa: E731
     out_idx = lambda t: (t, 0)                                  # noqa: E731
     kernel = functools.partial(_kernel_spectra, plan=plan, tile_k=K,
-                               nfixed=halo)
+                               nfixed=halo, dma_tables=not interpret)
     dft_re, dft_im = pl.pallas_call(
         kernel,
         grid=grid,
@@ -676,7 +699,7 @@ def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
             pl.BlockSpec((K, K), toep_idx,
                          memory_space=pltpu.VMEM),            # toep lo
             table_spec, table_spec,                           # dmf f32
-            table_spec, table_spec, table_spec, table_spec,   # dmf bf16 hi/lo
+            table_spec,                                       # stacked B bf16
         ],
         out_shape=(jax.ShapeDtypeStruct((M, m), odt),) * 2,
         out_specs=(pl.BlockSpec((K, m), out_idx,
@@ -685,8 +708,7 @@ def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(c0, fix, toep_hi, toep_lo, dmf_re, dmf_im,
-      dre_hi, dre_lo, dim_hi, dim_lo)
+    )(c0, fix, toep_hi, toep_lo, dmf_re, dmf_im, b_all)
 
     new_state = State(
         offset=jnp.mod(state.offset + M, n2).astype(state.offset.dtype),
@@ -842,6 +864,8 @@ def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
     if cumsum_mode not in ("toephoist", "mxu2", "mxu3", "vpu", "mxu_f32"):
         raise ValueError(f"unknown cumsum_mode {cumsum_mode!r}")
     if cumsum_mode == "toephoist":
+        if tile_k == TILE_K:
+            tile_k = SPECTRA_TILE_K  # measured optimum for this kernel
         tables = (_spectra_tables(plan, tile_k)
                   + _coarse_rows_host(plan, tile_k))
         return _launch_spectra_toeplitz(plan, state, samples, tables,
