@@ -366,10 +366,10 @@ def _spectra_tables(plan: Plan, K: int):
     the old per-block t==0 scratch init, whose ~3M transcendental
     evaluations cost more than the entire per-tile pipeline.
 
-    Returns (fine_re, fine_im, dmf_re, dmf_im, dre_hi, dre_lo, dim_hi,
-    dim_lo): fine[k, i] = T_i^k and dmf[k, i] = T_i^(-(k+1)) on the padded
-    bin axis i in [-PAD, mp+PAD), f32 planes plus the bf16 hi+lo split of
-    dmf for the MXU contraction.
+    Returns (fine_re, fine_im, dmf_re, dmf_im, b_all): fine[k, i] = T_i^k
+    and dmf[k, i] = T_i^(-(k+1)) on the padded bin axis i in [-PAD, mp+PAD),
+    f32 planes, plus b_all = the bf16 hi+lo splits of dmf pre-stacked into
+    the (3K, 2W) right operand of the single deep MXU contraction.
     """
     m = plan.dftsize
     n2 = 2 * m
@@ -844,7 +844,7 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
 
 
 def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
-                         cumsum_mode="toephoist", tile_k=TILE_K,
+                         cumsum_mode="toephoist", tile_k=None,
                          layout="packed", out_dtype=None):
     """Fused forward analysis.
 
@@ -864,12 +864,14 @@ def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
     if cumsum_mode not in ("toephoist", "mxu2", "mxu3", "vpu", "mxu_f32"):
         raise ValueError(f"unknown cumsum_mode {cumsum_mode!r}")
     if cumsum_mode == "toephoist":
-        if tile_k == TILE_K:
+        if tile_k is None:
             tile_k = SPECTRA_TILE_K  # measured optimum for this kernel
         tables = (_spectra_tables(plan, tile_k)
                   + _coarse_rows_host(plan, tile_k))
         return _launch_spectra_toeplitz(plan, state, samples, tables,
                                         interpret, tile_k, layout, out_dtype)
+    if tile_k is None:
+        tile_k = TILE_K
     new_state, dfts, _ = _launch(plan, state, samples, True, False, interpret,
                                  cumsum_mode, tile_k, layout, out_dtype)
     return new_state, dfts

@@ -143,13 +143,6 @@ def _lti_constants(plan: Plan, K: int):
     return fine.real, fine.imag, P, Q, GLT
 
 
-def lti_supported(plan: Plan, M: int) -> bool:
-    """The collapsed path covers every plan; kept as a hook for future
-    constraints (and symmetry with kernels.plan_supported)."""
-    del plan, M
-    return True
-
-
 @functools.lru_cache(maxsize=None)
 def _lti_consts_device(plan: Plan, K: int, fd: str):
     """The _lti_constants tables as cached DEVICE arrays in the plan's FD
