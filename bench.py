@@ -189,16 +189,14 @@ def bench_tpu():
     # first spectra, test/test.c:69-83) in its chained in-program form —
     # the path the CLI runs (api.roundtrip_hopped); canonical m=1000,
     # hop=100 (test/main.sh:3-6)
-    from sdft_tpu.ops.analysis import refresh_state
-    from sdft_tpu.ops.lti import sdft_hopped as hopped_lti
+    from sdft_tpu.ops.lti import roundtrip_hopped_block
 
     DRV_M, DRV_HOP, DRV_BLOCK = 1000, 100, 4000
     plan_drv = Plan(DRV_M, window="hann", precision=FAST_PRECISION)
 
     def drv_step(st, x):
-        _, hd = hopped_lti(plan_drv, st, x, DRV_HOP)
-        st, y = roundtrip_block_lti(plan_drv, st, x)
-        st = refresh_state(plan_drv, st)
+        st, hd, y = roundtrip_hopped_block(plan_drv, st, x, DRV_HOP,
+                                           refresh=True)
         return st, jnp.sum(y * y) + jnp.sum(hd)
 
     xs_d = randn((K_HI, DRV_BLOCK))

@@ -65,6 +65,17 @@ TILE_K = 128      # samples per grid step (lane-aligned slices)
 #: 96 -> 4.06, 80 -> 4.05, 64 -> 4.16, 32 -> 5.41.  96 balances the f32
 #: plateau with the bf16-output optimum (64) and keeps tables small.
 SPECTRA_TILE_K = 96
+#: Toeplitz depth / rows-per-grid-step for the conv-folded spectra kernel
+#: (see _kernel_spectra_conv).  The MXU work per sample is proportional to
+#: CONV_TILE_K alone; CONV_SUPER_R tiles share one grid step to amortize
+#: per-step overheads without adding MXU work.
+CONV_TILE_K = 64
+CONV_SUPER_R = 4
+#: Grid dimension semantics for the stateless spectra kernels.  Their grid
+#: steps are independent ("parallel" lets Mosaic overlap across steps);
+#: module-level so experiments can A/B it (clear the launcher jit caches
+#: after changing).
+DIM_SEMANTICS = ("arbitrary",)
 
 
 def pallas_supported() -> bool:
@@ -403,6 +414,74 @@ def _spectra_tables(plan: Plan, K: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _spectra_tables_conv(plan: Plan, K: int, fold: bool = True):
+    """Device tables for the conv-folded spectra kernel (_kernel_spectra_conv).
+
+    The window's bin convolution (c/src/sdft/sdft.h:350-402) is linear and
+    bin-shift-invariant while the Toeplitz coefficients are bin-independent,
+    so it FOLDS into the contraction table:
+
+        conv_g(Toep @ dmf) = Toep @ conv_g(dmf) = Toep @ dmfc
+
+    (analysis weight included) — the kernel's VPU never runs the window
+    stencil.  Returns (fine_re, fine_im, dmf_re, dmf_im, b_conv, phi):
+
+      * fine planes: launcher-side totals GEMM + top-edge fix machinery,
+      * raw dmf f32 planes: the carry demodulation in the kernel,
+      * b_conv: bf16 hi/lo split of dmfc stacked (3K, 2W) for the single
+        deep contraction [thi | thi | tlo] @ [hi; lo; hi],
+      * phi (K, 128) f32: the carry's conv shift phasors
+        phi_h[k] = exp(j*pi*(k+1)*h/m) at columns (2(h-1), 2(h-1)+1) —
+        dmf[k, i+g] = dmf[k, i] * phi_g[k], so the convolved carry is
+        Re/Im(dmf * D) with D built from rank-1 (K,1)x(1,W) VPU terms
+        (NOT skinny MXU dots: Mosaic pads those to full 128-deep matmuls,
+        the measured sink of the round-3 "rank-h carry" attempt).
+    """
+    m = plan.dftsize
+    n2 = 2 * m
+    W = _round_up(m, 128) + 2 * PAD
+    halo = WINDOW_HALO[plan.window]
+    taps = [float(c) * plan.analysis_weight for c in WINDOW_TAPS[plan.window]]
+    i = np.arange(W) - PAD
+    k = np.arange(K)
+    rf = (k[:, None] * i[None, :]) % n2
+    af = (-np.pi / m) * rf
+    fine_re = np.cos(af).astype(np.float32)
+    fine_im = np.sin(af).astype(np.float32)
+
+    dre = np.zeros((K, W))
+    dim = np.zeros((K, W))
+    dmfc_re = np.zeros((K, W))
+    dmfc_im = np.zeros((K, W))
+    for g in (range(-halo, halo + 1) if fold else (0,)):
+        rd = ((k[:, None] + 1) * (i[None, :] + g)) % n2
+        ad = (np.pi / m) * rd
+        cg = taps[abs(g)] if fold else 1.0
+        dmfc_re += cg * np.cos(ad)
+        dmfc_im += cg * np.sin(ad)
+        if g == 0:
+            dre = np.cos(ad)
+            dim = np.sin(ad)
+
+    b_hi_re, b_lo_re = _bf16_split_host(dmfc_re.astype(np.float32))
+    b_hi_im, b_lo_im = _bf16_split_host(dmfc_im.astype(np.float32))
+    b_re = np.concatenate([b_hi_re, b_lo_re, b_hi_re], axis=0)
+    b_im = np.concatenate([b_hi_im, b_lo_im, b_hi_im], axis=0)
+    b_conv = np.concatenate([b_re, b_im], axis=1)       # (3K, 2W)
+
+    phi = np.zeros((K, 128), np.float32)
+    for h in range(1, halo + 1):
+        aph = (np.pi / m) * (((k + 1) * h) % n2)
+        phi[:, 2 * (h - 1)] = np.cos(aph)
+        phi[:, 2 * (h - 1) + 1] = np.sin(aph)
+
+    with jax.ensure_compile_time_eval():
+        return tuple(jnp.asarray(a) for a in
+                     (fine_re, fine_im, dre.astype(np.float32),
+                      dim.astype(np.float32), b_conv, phi))
+
+
+@functools.lru_cache(maxsize=None)
 def _coarse_rows_host(plan: Plan, K: int):
     """Host table C[j, i] = T_i^(j*K mod 2m) for the q distinct coarse
     exponents (q = period of t*K mod 2m), padded bin axis.  f32."""
@@ -530,37 +609,132 @@ def _kernel_spectra(c0_ref, fix_ref, toep_hi_ref, toep_lo_ref,
             fix_ref[:, nfixed:].astype(dft_im_ref.dtype))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
-def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
-                             interpret: bool = False, tile_k: int = TILE_K,
-                             layout: str = "packed",
-                             out_dtype: str | None = None):
-    """Forward spectra via the hoisted-Toeplitz kernel.
+def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
+                         phi_ref, *refs, plan: Plan, tile_k: int,
+                         super_r: int, nfixed: int, crow_stride: int,
+                         fold_conv: bool, dma_tables: bool = True):
+    """Super-tiled stateless spectra step: R tiles of K samples per step,
+    ONE (R*K, 3K) @ (3K, 2W) bf16-split contraction — the Toeplitz depth K
+    (MXU work per sample) is decoupled from the R*K samples each grid step
+    emits, so per-step overheads amortize without adding MXU work.
 
-    The launcher computes every sequential quantity with dense batched XLA
-    ops over all tiles at once, leaving the Pallas grid a stateless map
-    (see _kernel_spectra):
+    ``fold_conv`` selects the carry/stencil organization:
 
-      * per-tile totals     S_t = delta_tile @ fine        (one real GEMM)
+      * False: the toephoist math — carry = c0 o dmf, window stencil
+        applied in-kernel (crows carry 2 rows per tile: c0_re, c0_im);
+      * True: the window conv is folded into the contraction table
+        (dmfc = conv(dmf), _spectra_tables_conv) and the carry lands in
+        the convolved domain, out += Re/Im(dmf o D) with
+        D[k,i] = E0[i] + sum_h (phi_h[k]*S_h[i] -/+ ...) built from
+        rank-1 (K,1)x(1,W) VPU FMAs (NOT skinny MXU dots — Mosaic pads
+        those to full matmuls).  crows carry 2 + 4*halo rows per tile.
+
+    Either way the top ``nfixed`` Hermitian-guarded output columns are
+    overwritten from launcher-precomputed fix columns.
+    """
+    K = tile_k
+    R = super_r
+    m = plan.dftsize
+    halo = WINDOW_HALO[plan.window]
+    wgt = plan.analysis_weight
+    c0t, c1t, c2t = (np.float32(c * wgt) for c in WINDOW_TAPS[plan.window])
+    W = _round_up(m, 128) + 2 * PAD
+
+    t = pl.program_id(0)
+    if dma_tables:
+        hbm_tables = refs[:3]
+        dft_re_ref, dft_im_ref = refs[3], refs[4]
+        scratch_tables = refs[5:8]
+        sems = refs[8]
+        dmf_re, dmf_im, b_conv = scratch_tables
+
+        @pl.when(t == 0)
+        def _load_tables():
+            for idx in range(3):
+                pltpu.make_async_copy(hbm_tables[idx], scratch_tables[idx],
+                                      sems.at[idx]).start()
+            for idx in range(3):
+                pltpu.make_async_copy(hbm_tables[idx], scratch_tables[idx],
+                                      sems.at[idx]).wait()
+    else:
+        dmf_re, dmf_im, b_conv = refs[:3]
+        dft_re_ref, dft_im_ref = refs[3], refs[4]
+
+    A = jnp.concatenate([toep_hi_ref[:], toep_hi_ref[:], toep_lo_ref[:]],
+                        axis=1)                          # (R*K, 3K)
+    dots = jnp.dot(A, b_conv[:], preferred_element_type=jnp.float32)
+
+    def conv(a):
+        out = c0t * a[:, PAD:PAD + m]
+        if halo >= 1:
+            out = out + c1t * (a[:, PAD - 1:PAD + m - 1]
+                               + a[:, PAD + 1:PAD + m + 1])
+        if halo >= 2:
+            out = out + c2t * (a[:, PAD - 2:PAD + m - 2]
+                               + a[:, PAD + 2:PAD + m + 2])
+        return out
+
+    mre = dmf_re[:]
+    mim = dmf_im[:]
+    for r in range(R):
+        base = r * crow_stride
+        rows = slice(r * K, (r + 1) * K)
+        if fold_conv:
+            d_re = crows_ref[base + 0:base + 1, :]
+            d_im = crows_ref[base + 1:base + 2, :]
+            for h in range(1, halo + 1):
+                o = base + 2 + 4 * (h - 1)
+                s_r = crows_ref[o + 0:o + 1, :]
+                s_i = crows_ref[o + 1:o + 2, :]
+                t_r = crows_ref[o + 2:o + 3, :]
+                t_i = crows_ref[o + 3:o + 4, :]
+                phr = phi_ref[:, 2 * (h - 1):2 * (h - 1) + 1]      # (K, 1)
+                phm = phi_ref[:, 2 * (h - 1) + 1:2 * (h - 1) + 2]
+                d_re = d_re + phr * s_r - phm * t_i
+                d_im = d_im + phr * s_i + phm * t_r
+            out_re = dots[rows, :W] + (mre * d_re - mim * d_im)
+            out_im = dots[rows, W:] + (mre * d_im + mim * d_re)
+            out_re = out_re[:, PAD:PAD + m]
+            out_im = out_im[:, PAD:PAD + m]
+        else:
+            c_re = crows_ref[base + 0:base + 1, :]
+            c_im = crows_ref[base + 1:base + 2, :]
+            aux_re = dots[rows, :W] + (c_re * mre - c_im * mim)
+            aux_im = dots[rows, W:] + (c_re * mim + c_im * mre)
+            out_re = conv(aux_re)
+            out_im = conv(aux_im)
+        dft_re_ref[rows, :] = out_re.astype(dft_re_ref.dtype)
+        dft_im_ref[rows, :] = out_im.astype(dft_im_ref.dtype)
+    if nfixed:
+        dft_re_ref[:, m - nfixed:m] = (
+            fix_ref[:, :nfixed].astype(dft_re_ref.dtype))
+        dft_im_ref[:, m - nfixed:m] = (
+            fix_ref[:, nfixed:].astype(dft_im_ref.dtype))
+
+
+def _spectra_prologue(plan: Plan, state: State, samples, K: int,
+                      fine_re, fine_im, coarse):
+    """Shared launcher prologue for the hoisted spectra kernels: computes
+    every sequential quantity with dense batched XLA ops over all tiles at
+    once, leaving the Pallas grid a stateless map:
+
+      * comb delta + new delayline                     (the TD stage)
+      * per-tile totals     S_t = delta_tile @ fine    (one real GEMM)
       * rotated prefix      c0_t = (acc + excl-cumsum(row0_t S_t)) conj(row0_t)
-      * the next carry      acc\' = acc + sum_t row0_t S_t
-      * top-edge fixes      from raw aux at the 2*halo top bins — computed
-                            in the cheap per-column form
-                            aux[t,k,c] = (c0[t,c] + cumsum_k(d fine))
-                                         * conj(fine[k,c]) * base[c]
-                            (O(nt*K*2halo) elementwise, no GEMM, no
-                            Toeplitz materialization)
+      * the next carry      acc' = acc + sum_t row0_t S_t
+      * top-edge fixes      guarded window conv at the top `halo` bins from
+                            raw aux in the cheap per-column form
+                            (O(nt*K*2halo) elementwise, no GEMM)
+
+    Returns (delta, dt, nt, new_delayline, c0_re, c0_im, acc_out, fix).
     """
     m = plan.dftsize
-    n2 = 2 * m
     W = _round_up(m, 128) + 2 * PAD
     (M,) = samples.shape
-    K = tile_k
     Mp = _round_up(M, K)
     nt = Mp // K
     halo = WINDOW_HALO[plan.window]
     hiP = lax.Precision.HIGHEST
-    (fine_re, fine_im, dmf_re, dmf_im, b_all, *coarse) = tables
 
     samples = samples.astype(jnp.float32)
     line = jnp.concatenate([state.delayline.astype(jnp.float32), samples])
@@ -596,16 +770,6 @@ def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
         [jnp.zeros_like(inc_im[:1]), inc_im[:-1]], axis=0)
     c0_re = pre_re * row_re + pre_im * row_im          # prefix * conj(row0)
     c0_im = pre_im * row_re - pre_re * row_im
-    # pack 8 tiles' (re, im) row pairs per fetched (16, W) block — no
-    # zero-padding waste, and Pallas re-fetches only every 8th grid step
-    # (measured faster than per-tile static (8, W) blocks, 4.99 vs 5.15
-    # ms/block at the flagship config, despite the dynamic sublane slice)
-    ntp = _round_up(nt, 8)
-    c0 = jnp.stack([c0_re, c0_im], axis=1)
-    if ntp != nt:
-        c0 = jnp.concatenate(
-            [c0, jnp.zeros((ntp - nt, 2, W), jnp.float32)], axis=0)
-    c0 = c0.reshape(ntp * 2, W)
 
     acc_out = jnp.stack([acc_in[0, PAD:PAD + m] + inc_re[-1, PAD:PAD + m],
                          acc_in[1, PAD:PAD + m] + inc_im[-1, PAD:PAD + m]],
@@ -657,6 +821,53 @@ def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
     else:
         fix = jnp.zeros((nt * K, 2), jnp.float32)
 
+    return delta, dt, nt, new_delayline, c0_re, c0_im, acc_out, fix
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
+                             interpret: bool = False, tile_k: int = TILE_K,
+                             layout: str = "packed",
+                             out_dtype: str | None = None):
+    """Forward spectra via the hoisted-Toeplitz kernel.
+
+    The launcher computes every sequential quantity with dense batched XLA
+    ops over all tiles at once, leaving the Pallas grid a stateless map
+    (see _kernel_spectra):
+
+      * per-tile totals     S_t = delta_tile @ fine        (one real GEMM)
+      * rotated prefix      c0_t = (acc + excl-cumsum(row0_t S_t)) conj(row0_t)
+      * the next carry      acc\' = acc + sum_t row0_t S_t
+      * top-edge fixes      from raw aux at the 2*halo top bins — computed
+                            in the cheap per-column form
+                            aux[t,k,c] = (c0[t,c] + cumsum_k(d fine))
+                                         * conj(fine[k,c]) * base[c]
+                            (O(nt*K*2halo) elementwise, no GEMM, no
+                            Toeplitz materialization)
+    """
+    m = plan.dftsize
+    n2 = 2 * m
+    W = _round_up(m, 128) + 2 * PAD
+    (M,) = samples.shape
+    K = tile_k
+    halo = WINDOW_HALO[plan.window]
+    (fine_re, fine_im, dmf_re, dmf_im, b_all, *coarse) = tables
+
+    (delta, dt, nt, new_delayline, c0_re, c0_im, acc_out, fix
+     ) = _spectra_prologue(plan, state, samples, K, fine_re, fine_im, coarse)
+    Mp = nt * K
+
+    # pack 8 tiles' (re, im) row pairs per fetched (16, W) block — no
+    # zero-padding waste, and Pallas re-fetches only every 8th grid step
+    # (measured faster than per-tile static (8, W) blocks, 4.99 vs 5.15
+    # ms/block at the flagship config, despite the dynamic sublane slice)
+    ntp = _round_up(nt, 8)
+    c0 = jnp.stack([c0_re, c0_im], axis=1)
+    if ntp != nt:
+        c0 = jnp.concatenate(
+            [c0, jnp.zeros((ntp - nt, 2, W), jnp.float32)], axis=0)
+    c0 = c0.reshape(ntp * 2, W)
+
     toep_hi, toep_lo = _toeplitz_blocks(delta, nt, K)
 
     odt = jnp.dtype(out_dtype) if out_dtype else jnp.float32
@@ -706,9 +917,154 @@ def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
                                 memory_space=pltpu.VMEM),) * 2,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=None if interpret else DIM_SEMANTICS),
         interpret=interpret,
     )(c0, fix, toep_hi, toep_lo, dmf_re, dmf_im, b_all)
+
+    new_state = State(
+        offset=jnp.mod(state.offset + M, n2).astype(state.offset.dtype),
+        delayline=new_delayline,
+        accumulator=acc_out.astype(state.accumulator.dtype),
+    )
+    if layout == "planar":
+        return new_state, (dft_re, dft_im)
+    return new_state, jnp.stack([dft_re, dft_im], axis=-1)
+
+
+def _conv_pick_tiles(m: int, out_bytes: int) -> tuple[int, int] | None:
+    """(tile_k, super_r) for the conv-folded kernel under the VMEM budget,
+    or None if no configuration fits (caller falls back to the XLA path).
+
+    Budget model (bytes): resident tables 20*K*W (two f32 dmf planes + the
+    (3K, 2W) bf16 split stack), the (R*K, 2W) f32 dots intermediate, and the
+    double-buffered output blocks 2 planes * R*K*m * out_bytes * 2.
+    """
+    W = _round_up(m, 128) + 2 * PAD
+    for K, R in ((CONV_TILE_K, CONV_SUPER_R), (64, 2), (64, 1), (32, 2),
+                 (32, 1)):
+        est = 20 * K * W + 8 * R * K * W + 4 * R * K * m * out_bytes
+        if est <= 80 * 1024 * 1024:
+            return K, R
+    return None
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9))
+def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
+                         interpret: bool = False, tile_k: int = CONV_TILE_K,
+                         super_r: int = CONV_SUPER_R, layout: str = "packed",
+                         out_dtype: str | None = None,
+                         fold_conv: bool = True):
+    """Forward spectra via the conv-folded hoisted-Toeplitz kernel.
+
+    Same hoisting strategy as _launch_spectra_toeplitz (all sequential
+    quantities become dense batched XLA ops; the grid is a stateless map)
+    with two structural changes:
+
+      * the window convolution is folded into the contraction table
+        (_spectra_tables_conv), so the kernel carries NO stencil — the
+        per-tile carry is applied in the convolved domain through the
+        launcher-computed rows E0 = c0*C0, S_h = c_h*(C0>>h + C0<<h),
+        T_h = c_h*(C0>>h - C0<<h) and the phasor columns phi_h;
+      * ``super_r`` tiles are emitted per grid step with ONE
+        (R*K, 3K) @ (3K, 2W) contraction, so the Toeplitz depth K (the
+        MXU work per sample) shrinks without multiplying per-step
+        overheads.
+    """
+    m = plan.dftsize
+    n2 = 2 * m
+    W = _round_up(m, 128) + 2 * PAD
+    (M,) = samples.shape
+    K = tile_k
+    R = super_r
+    halo = WINDOW_HALO[plan.window]
+    (fine_re, fine_im, dmf_re, dmf_im, b_conv, phi, *coarse) = tables
+
+    (delta, dt, nt, new_delayline, c0_re, c0_im, acc_out, fix
+     ) = _spectra_prologue(plan, state, samples, K, fine_re, fine_im, coarse)
+
+    # carry rows: fold_conv packs the convolved-domain rows
+    # [E0_re, E0_im, (S_h_re, S_h_im, T_h_re, T_h_im) for h=1..halo] per
+    # tile; the unfolded kernel needs only (c0_re, c0_im).  The per-tile
+    # stride is padded so R*stride rows (one grid block) stay divisible
+    # by 8 (the f32 sublane tile).
+    import math as _math
+
+    wgt = plan.analysis_weight
+    taps = [np.float32(c * wgt) for c in WINDOW_TAPS[plan.window]]
+    if fold_conv:
+        rows = [taps[0] * c0_re, taps[0] * c0_im]
+        for h in range(1, halo + 1):
+            cp_re = jnp.pad(c0_re[:, h:], ((0, 0), (0, h)))     # C0[i+h]
+            cp_im = jnp.pad(c0_im[:, h:], ((0, 0), (0, h)))
+            cm_re = jnp.pad(c0_re[:, :-h], ((0, 0), (h, 0)))    # C0[i-h]
+            cm_im = jnp.pad(c0_im[:, :-h], ((0, 0), (h, 0)))
+            rows += [taps[h] * (cp_re + cm_re), taps[h] * (cp_im + cm_im),
+                     taps[h] * (cp_re - cm_re), taps[h] * (cp_im - cm_im)]
+    else:
+        rows = [c0_re, c0_im]
+    nrows = len(rows)
+    req = 8 // _math.gcd(R, 8)
+    stride = -(-nrows // req) * req
+    rows += [jnp.zeros_like(c0_re)] * (stride - nrows)
+    crows = jnp.stack(rows, axis=1).reshape(nt * stride, W)
+
+    # pad the per-tile streams to whole super-steps (zero tiles are inert:
+    # their junk output rows fall beyond M and the partial final out block)
+    nts = -(-nt // R)
+    ntp = nts * R
+    if ntp != nt:
+        crows = jnp.pad(crows, ((0, (ntp - nt) * stride), (0, 0)))
+        fix = jnp.pad(fix, ((0, (ntp - nt) * K), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, (ntp - nt) * K)))
+    toep_hi, toep_lo = _toeplitz_blocks(delta, ntp, K)
+
+    odt = jnp.dtype(out_dtype) if out_dtype else jnp.float32
+    if odt != jnp.float32 and layout != "planar":
+        raise ValueError("non-f32 spectra require layout='planar'")
+
+    nfix = fix.shape[-1]
+    if interpret:
+        table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scratch = []
+    else:
+        table_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # HBM; the kernel
+        scratch = [                                        # DMAs at t==0
+            pltpu.VMEM((K, W), jnp.float32),           # dmf re
+            pltpu.VMEM((K, W), jnp.float32),           # dmf im
+            pltpu.VMEM((3 * K, 2 * W), jnp.bfloat16),  # stacked conv B
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
+    kernel = functools.partial(_kernel_spectra_conv, plan=plan, tile_k=K,
+                               super_r=R, nfixed=halo, crow_stride=stride,
+                               fold_conv=fold_conv,
+                               dma_tables=not interpret)
+    dft_re, dft_im = pl.pallas_call(
+        kernel,
+        grid=(nts,),
+        in_specs=[
+            pl.BlockSpec((R * stride, W), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),        # carry rows
+            pl.BlockSpec((R * K, nfix), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),        # fix cols
+            pl.BlockSpec((R * K, K), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),        # toep hi
+            pl.BlockSpec((R * K, K), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),        # toep lo
+            pl.BlockSpec((K, 128), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),        # phi columns
+            table_spec, table_spec,                       # dmf f32
+            table_spec,                                   # stacked conv B
+        ],
+        out_shape=(jax.ShapeDtypeStruct((M, m), odt),) * 2,
+        out_specs=(pl.BlockSpec((R * K, m), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM),) * 2,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=None if interpret else DIM_SEMANTICS),
+        interpret=interpret,
+    )(crows, fix, toep_hi, toep_lo, phi, dmf_re, dmf_im, b_conv)
 
     new_state = State(
         offset=jnp.mod(state.offset + M, n2).astype(state.offset.dtype),
@@ -845,7 +1201,8 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
 
 def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
                          cumsum_mode="toephoist", tile_k=None,
-                         layout="packed", out_dtype=None):
+                         layout="packed", out_dtype=None, super_r=None,
+                         fold_conv=True):
     """Fused forward analysis.
 
     Returns (state, dfts) with dfts packed (M, m, 2), or — with
@@ -861,8 +1218,24 @@ def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
     scan variants ("mxu2"/"mxu3"/"vpu"/"mxu_f32") remain for the fused
     round trip and A/B measurement.
     """
-    if cumsum_mode not in ("toephoist", "mxu2", "mxu3", "vpu", "mxu_f32"):
+    if cumsum_mode not in ("toepconv", "toephoist", "mxu2", "mxu3", "vpu",
+                           "mxu_f32"):
         raise ValueError(f"unknown cumsum_mode {cumsum_mode!r}")
+    if cumsum_mode == "toepconv":
+        odt_bytes = 2 if out_dtype == "bfloat16" else 4
+        pick = _conv_pick_tiles(plan.dftsize, odt_bytes)
+        if pick is None:
+            cumsum_mode = "toephoist"  # no VMEM-feasible conv config
+        else:
+            auto_k, auto_r = pick
+            K = tile_k if tile_k is not None else auto_k
+            R = super_r if super_r is not None else (auto_r if tile_k is None
+                                                    else 1)
+            tables = (_spectra_tables_conv(plan, K, fold_conv)
+                      + _coarse_rows_host(plan, K))
+            return _launch_spectra_conv(plan, state, samples, tables,
+                                        interpret, K, R, layout, out_dtype,
+                                        fold_conv)
     if cumsum_mode == "toephoist":
         if tile_k is None:
             tile_k = SPECTRA_TILE_K  # measured optimum for this kernel

@@ -20,23 +20,56 @@ import numpy as np
 from ..plan import Plan
 
 
+#: Largest dftsize whose exact mod-2m phase products stay int32-safe via the
+#: two-level split in ``mulmod`` ((2m-1) * S <= 2^31 - 1 with S ~ sqrt(2m)).
+MAX_INT32_DFTSIZE = 1 << 19
+
+
 def exponent_dtype(m: int):
     """Integer dtype for the exact phase products ``(e * i) mod 2m``.
 
-    The factors are bounded by e <= 2m-1 and i <= m-1, so int32 is exact
-    while (2m-1)*(m-1) < 2^31, i.e. m <= 32768 (at m=32768 the largest
-    product is 2,147,385,345 < 2^31-1).  Larger plans — the reference
-    allocates any size (c/src/sdft/sdft.h:413-450) — promote to int64,
-    which requires the x64 (f64 parity) mode; the f32 fast path keeps no
-    meaningful phase resolution at those sizes anyway.
+    ``mulmod`` keeps the products exact in int32 for any m up to 2^19
+    (524288 bins): one direct product while (2m-1)*(2m-1) < 2^31, else a
+    two-level split (the reference allocates any dftsize,
+    c/src/sdft/sdft.h:413-450 — the f32 fast path follows).  Beyond that,
+    promote to int64, which requires the x64 (f64 parity) mode.
     """
-    if (2 * m - 1) * (m - 1) < 2 ** 31:
+    if m <= MAX_INT32_DFTSIZE:
         return jnp.int32
     if not jax.config.jax_enable_x64:
         raise ValueError(
             f"dftsize {m} needs int64 exact-phase arithmetic; enable "
-            "jax_enable_x64 (the f64 parity mode) for plans above 32768 bins")
+            "jax_enable_x64 (the f64 parity mode) for plans above "
+            f"{MAX_INT32_DFTSIZE} bins")
     return jnp.int64
+
+
+def mulmod(e, i, n2: int):
+    """Exact ``(e * i) mod n2`` without integer overflow.
+
+    ``e`` must be reduced mod n2 already; ``i`` is any (possibly negative)
+    integer array — it is reduced here.  While (n2-1)^2 < 2^31 a single
+    int32 product is exact; above that the split i = a*S + b (S ~ sqrt(n2))
+    gives
+
+        (e*i) mod n2 = (((e*S mod n2) * a) mod n2 + (e*b) mod n2) mod n2
+
+    with every product bounded by (n2-1)*S <= 2^31 - 1 — int32-exact for
+    n2 up to 2^20 (m = MAX_INT32_DFTSIZE).  int64 inputs take the direct
+    product unconditionally.
+    """
+    e = jnp.asarray(e)
+    i = jnp.asarray(i).astype(e.dtype)
+    i = jnp.mod(i, n2)
+    if e.dtype == jnp.int64 or (n2 - 1) * (n2 - 1) < 2 ** 31:
+        return jnp.mod(e * i, n2)
+    S = 1 << ((int(n2).bit_length() + 1) // 2)
+    if (n2 - 1) * S > 2 ** 31 - 1:
+        raise ValueError(f"modulus {n2} too large for int32 two-level split")
+    a = i // S
+    b = i - a * S
+    eS = jnp.mod(e * S, n2)
+    return jnp.mod(jnp.mod(eS * a, n2) + jnp.mod(e * b, n2), n2)
 
 
 def fiddle_rows(plan: Plan, exponents: jnp.ndarray, conj: bool = False,
@@ -59,9 +92,9 @@ def fiddle_rows(plan: Plan, exponents: jnp.ndarray, conj: bool = False,
     if bins is None:
         bins = jnp.arange(m, dtype=jnp.int32)
     e = jnp.mod(exponents.astype(dt), n2)
-    # (e * i) stays exact: e < 2m, i < m, and exponent_dtype picks a width
-    # with 2m*m representable.
-    r = jnp.mod(e[:, None] * bins[None, :].astype(dt), n2)
+    # exact for any supported m: mulmod reduces and (if needed) splits the
+    # product so it never overflows the exponent dtype
+    r = mulmod(e[:, None], bins[None, :], n2)
     sign = 1.0 if conj else -1.0
     omega = sign * np.pi / m  # conj flips exp(-j..) -> exp(+j..)
     angle = (omega * r).astype(plan.precision.fd_dtype)

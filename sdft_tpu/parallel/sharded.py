@@ -42,7 +42,8 @@ from ..windows import WINDOW_HALO, Window
 from ..ops.convolve import window_convolve
 from ..ops.lti import (K_TILE, _hop_consts_device,
                         _lti_consts_device)
-from ..ops.twiddle import exponent_dtype, fiddle_rows, synthesis_twiddles
+from ..ops.twiddle import (exponent_dtype, fiddle_rows, mulmod,
+                           synthesis_twiddles)
 
 # Sharding specs for the batched State pytree: accumulator shards over bins,
 # offset/delayline replicate over time and bins.  Spectral arrays are packed
@@ -262,7 +263,7 @@ def _roundtrip_local_lti(plan: Plan, state: State, samples, fine_re, fine_im,
     edt = exponent_dtype(m)
     e0 = jnp.mod(state.offset.astype(edt)[:, None] + d * L
                  + jnp.arange(nt, dtype=edt)[None, :] * K, n2)
-    r = jnp.mod(e0[..., None] * bins[None, None, :].astype(edt), n2)
+    r = mulmod(e0[..., None], bins[None, None, :], n2)
     ang = (-np.pi / m) * r.astype(fd)
     row0_re = jnp.cos(ang)
     row0_im = jnp.sin(ang)
@@ -346,7 +347,7 @@ def _hopped_local(plan: Plan, state: State, samples, fine_re, fine_im,
     edt = exponent_dtype(m)
     e0 = jnp.mod(state.offset.astype(edt)[:, None] + d * L
                  + jnp.arange(nt, dtype=edt)[None, :] * hop, n2)
-    r = jnp.mod(e0[..., None] * bins[None, None, :].astype(edt), n2)
+    r = mulmod(e0[..., None], bins[None, None, :], n2)
     ang = (-np.pi / m) * r.astype(fd)
     row0 = jnp.cos(ang) + 1j * jnp.sin(ang)
 
