@@ -8,7 +8,8 @@ Blackman frequency-domain windowing, configurable TD/FD precision, endless
 bounded-memory streaming, and multi-chip sharding over bins/time/channels.
 """
 
-from .api import (isdft, refresh, roundtrip, roundtrip_hopped, sdft,
+from .api import (isdft, isdft_interleaved, refresh, roundtrip,
+                  roundtrip_hopped, sdft, sdft_interleaved,
                   sdft_hopped)
 from .compat import SDFT, STFT
 from .config import DEFAULT_PRECISION, FAST_PRECISION, Precision
@@ -34,7 +35,9 @@ __all__ = [
     "FAST_PRECISION",
     "sdft",
     "sdft_hopped",
+    "sdft_interleaved",
     "isdft",
+    "isdft_interleaved",
     "refresh",
     "roundtrip",
     "roundtrip_hopped",

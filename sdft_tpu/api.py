@@ -253,3 +253,32 @@ def isdft(plan: Plan, dfts) -> jax.Array:
         raise ValueError(
             f"dfts must be packed (M, m, 2) or (C, M, m, 2), got {dfts.shape}")
     return _isdft(plan, dfts)
+
+
+def sdft_interleaved(plan: Plan, state: State, frames, layout: str = "packed",
+                     spectra_dtype: str | None = None):
+    """Forward analysis of interleaved multi-channel audio.
+
+    ``frames`` is (M, C) — one C-channel frame per time step, the memory
+    layout of ``sdft_sdft_nd``'s strided entry point
+    (c/src/sdft/sdft.h:615-633).  Transposes to the channel-major (C, M)
+    batch and dispatches to :func:`sdft`; spectra come back channel-major
+    (C, M, m, 2), matching the ``dfts + i * dftstride`` view of the
+    reference call.
+    """
+    frames = jnp.asarray(frames)
+    if frames.ndim != 2:
+        raise ValueError(f"frames must be (M, C) interleaved, got "
+                         f"{frames.shape}")
+    return sdft(plan, state, frames.T, layout=layout,
+                spectra_dtype=spectra_dtype)
+
+
+def isdft_interleaved(plan: Plan, dfts) -> jax.Array:
+    """Inverse synthesis returning interleaved (M, C) frames — the
+    ``sdft_isdft_nd`` layout (c/src/sdft/sdft.h:676-694)."""
+    y = isdft(plan, dfts)
+    if y.ndim != 2:
+        raise ValueError("isdft_interleaved needs channel-batched spectra "
+                         "(C, M, m, 2)")
+    return y.T

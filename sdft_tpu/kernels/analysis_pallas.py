@@ -444,10 +444,26 @@ def _spectra_tables_conv(plan: Plan, K: int, fold: bool = True):
     taps = [float(c) * plan.analysis_weight for c in WINDOW_TAPS[plan.window]]
     i = np.arange(W) - PAD
     k = np.arange(K)
+
+    # ROI folds entirely into the tables: masked fine columns keep the
+    # accumulator/carry zero outside the band (c/src/sdft/sdft.h:570),
+    # masked dmf kills the carry demod there, and masked dmfc columns
+    # apply both the accumulate mask (shifted, per conv tap) and the
+    # output mask (conv spill past the ROI edge reads as zero —
+    # ops.analysis semantics).  The left pad mirrors the mask around DC
+    # (the Hermitian guard of a zeroed bin is zero); top pads only feed
+    # fix-overwritten output columns.
+    if plan.roi is not None:
+        first, last = plan.roi
+        bm = np.where(i < 0, -i, np.where(i >= m, 2 * m - 2 - i, i))
+        mask = ((bm >= first) & (bm < last)).astype(np.float64)
+    else:
+        mask = np.ones(W)
+
     rf = (k[:, None] * i[None, :]) % n2
     af = (-np.pi / m) * rf
-    fine_re = np.cos(af).astype(np.float32)
-    fine_im = np.sin(af).astype(np.float32)
+    fine_re = (np.cos(af) * mask).astype(np.float32)
+    fine_im = (np.sin(af) * mask).astype(np.float32)
 
     dre = np.zeros((K, W))
     dim = np.zeros((K, W))
@@ -456,12 +472,22 @@ def _spectra_tables_conv(plan: Plan, K: int, fold: bool = True):
     for g in (range(-halo, halo + 1) if fold else (0,)):
         rd = ((k[:, None] + 1) * (i[None, :] + g)) % n2
         ad = (np.pi / m) * rd
+        # accumulate mask at the shifted (read) column mg[i] = mask[i+g],
+        # output mask at the destination column (applied after the loop);
+        # the unfolded table is just the masked dmf
+        mg = np.zeros(W)
+        if g >= 0:
+            mg[:W - g] = mask[g:]
+        else:
+            mg[-g:] = mask[:W + g]
         cg = taps[abs(g)] if fold else 1.0
-        dmfc_re += cg * np.cos(ad)
-        dmfc_im += cg * np.sin(ad)
+        dmfc_re += cg * mg * np.cos(ad)
+        dmfc_im += cg * mg * np.sin(ad)
         if g == 0:
-            dre = np.cos(ad)
-            dim = np.sin(ad)
+            dre = np.cos(ad) * mask
+            dim = np.sin(ad) * mask
+    dmfc_re *= mask
+    dmfc_im *= mask
 
     b_hi_re, b_lo_re = _bf16_split_host(dmfc_re.astype(np.float32))
     b_hi_im, b_lo_im = _bf16_split_host(dmfc_im.astype(np.float32))
@@ -612,7 +638,9 @@ def _kernel_spectra(c0_ref, fix_ref, toep_hi_ref, toep_lo_ref,
 def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
                          phi_ref, *refs, plan: Plan, tile_k: int,
                          super_r: int, nfixed: int, crow_stride: int,
-                         fold_conv: bool, dma_tables: bool = True):
+                         fold_conv: bool, manual_out: bool = False,
+                         n_out: int = 0, n_steps: int = 0,
+                         dma_tables: bool = True):
     """Super-tiled stateless spectra step: R tiles of K samples per step,
     ONE (R*K, 3K) @ (3K, 2W) bf16-split contraction — the Toeplitz depth K
     (MXU work per sample) is decoupled from the R*K samples each grid step
@@ -631,6 +659,14 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
 
     Either way the top ``nfixed`` Hermitian-guarded output columns are
     overwritten from launcher-precomputed fix columns.
+
+    ``manual_out``: Mosaic's automatic out-block pipelining measured fully
+    SERIAL here — per-block time is the SUM of the output DMA and the
+    compute across every swept variant (docs/PERF.md round-4 notes).  With
+    manual_out the outputs live in ANY/HBM space and the kernel writes a
+    ping-pong VMEM scratch slot, starts an async copy per step, and only
+    waits for the copy issued two steps earlier — the step-t store streams
+    while step t+1 computes.
     """
     K = tile_k
     R = super_r
@@ -641,12 +677,15 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
     W = _round_up(m, 128) + 2 * PAD
 
     t = pl.program_id(0)
+    oscr_re = oscr_im = osems = None
     if dma_tables:
         hbm_tables = refs[:3]
         dft_re_ref, dft_im_ref = refs[3], refs[4]
         scratch_tables = refs[5:8]
         sems = refs[8]
         dmf_re, dmf_im, b_conv = scratch_tables
+        if manual_out:
+            oscr_re, oscr_im, osems = refs[9], refs[10], refs[11]
 
         @pl.when(t == 0)
         def _load_tables():
@@ -660,9 +699,25 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
         dmf_re, dmf_im, b_conv = refs[:3]
         dft_re_ref, dft_im_ref = refs[3], refs[4]
 
-    A = jnp.concatenate([toep_hi_ref[:], toep_hi_ref[:], toep_lo_ref[:]],
-                        axis=1)                          # (R*K, 3K)
-    dots = jnp.dot(A, b_conv[:], preferred_element_type=jnp.float32)
+    RK = R * K
+    if manual_out:
+        # ping-pong output staging: slot = t % 2 rows [slot*RK, slot*RK+RK)
+        # of the (2*RK, m) scratch planes; the copy started at step t-2 on
+        # this slot must have drained before we overwrite it
+        slot = jnp.mod(t, 2)
+        row0_out = t * RK
+        size_last = n_out - (n_steps - 1) * RK
+
+        def out_copy(plane_scr, plane_hbm, start_row, size, sl, pidx):
+            return pltpu.make_async_copy(
+                plane_scr.at[pl.ds(sl * RK, size), :],
+                plane_hbm.at[pl.ds(start_row, size), :],
+                osems.at[sl, pidx])
+
+        @pl.when(t >= 2)
+        def _reclaim_slot():
+            out_copy(oscr_re, dft_re_ref, (t - 2) * RK, RK, slot, 0).wait()
+            out_copy(oscr_im, dft_im_ref, (t - 2) * RK, RK, slot, 1).wait()
 
     def conv(a):
         out = c0t * a[:, PAD:PAD + m]
@@ -676,7 +731,16 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
 
     mre = dmf_re[:]
     mim = dmf_im[:]
-    for r in range(R):
+
+    def dot_sub(r):
+        """Subtile r's contraction into a FRESH temp — no WAR hazard, so
+        the MXU can run subtile r while the VPU drains subtile r-1."""
+        rows = slice(r * K, (r + 1) * K)
+        A_r = jnp.concatenate([toep_hi_ref[rows, :], toep_hi_ref[rows, :],
+                               toep_lo_ref[rows, :]], axis=1)     # (K, 3K)
+        return jnp.dot(A_r, b_conv[:], preferred_element_type=jnp.float32)
+
+    def vpu_store(r, dsub):
         base = r * crow_stride
         rows = slice(r * K, (r + 1) * K)
         if fold_conv:
@@ -692,24 +756,85 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
                 phm = phi_ref[:, 2 * (h - 1) + 1:2 * (h - 1) + 2]
                 d_re = d_re + phr * s_r - phm * t_i
                 d_im = d_im + phr * s_i + phm * t_r
-            out_re = dots[rows, :W] + (mre * d_re - mim * d_im)
-            out_im = dots[rows, W:] + (mre * d_im + mim * d_re)
+            out_re = dsub[:, :W] + (mre * d_re - mim * d_im)
+            out_im = dsub[:, W:] + (mre * d_im + mim * d_re)
             out_re = out_re[:, PAD:PAD + m]
             out_im = out_im[:, PAD:PAD + m]
         else:
             c_re = crows_ref[base + 0:base + 1, :]
             c_im = crows_ref[base + 1:base + 2, :]
-            aux_re = dots[rows, :W] + (c_re * mre - c_im * mim)
-            aux_im = dots[rows, W:] + (c_re * mim + c_im * mre)
+            aux_re = dsub[:, :W] + (c_re * mre - c_im * mim)
+            aux_im = dsub[:, W:] + (c_re * mim + c_im * mre)
             out_re = conv(aux_re)
             out_im = conv(aux_im)
-        dft_re_ref[rows, :] = out_re.astype(dft_re_ref.dtype)
-        dft_im_ref[rows, :] = out_im.astype(dft_im_ref.dtype)
-    if nfixed:
-        dft_re_ref[:, m - nfixed:m] = (
-            fix_ref[:, :nfixed].astype(dft_re_ref.dtype))
-        dft_im_ref[:, m - nfixed:m] = (
-            fix_ref[:, nfixed:].astype(dft_im_ref.dtype))
+            if plan.roi is not None:
+                # conv spill past the ROI edge reads as zero; the folded
+                # mode bakes this mask into the dmfc table instead.
+                # (in-kernel iota: pallas kernels cannot capture array
+                # constants)
+                first, last = plan.roi
+                ib2 = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+                roi_row = ((ib2 >= first) & (ib2 < last)).astype(jnp.float32)
+                out_re = out_re * roi_row
+                out_im = out_im * roi_row
+        if manual_out:
+            oscr_re[pl.ds(slot * RK + r * K, K), :] = (
+                out_re.astype(oscr_re.dtype))
+            oscr_im[pl.ds(slot * RK + r * K, K), :] = (
+                out_im.astype(oscr_im.dtype))
+        else:
+            dft_re_ref[rows, :] = out_re.astype(dft_re_ref.dtype)
+            dft_im_ref[rows, :] = out_im.astype(dft_im_ref.dtype)
+
+    # software-pipelined subtiles: issue subtile r's MXU contraction, then
+    # run subtile r-1's (independent) VPU/store chain while it completes
+    prev = None
+    for r in range(R):
+        cur = dot_sub(r)
+        if prev is not None:
+            vpu_store(prev[0], prev[1])
+        prev = (r, cur)
+    vpu_store(prev[0], prev[1])
+    if manual_out:
+        if nfixed:
+            oscr_re[pl.ds(slot * RK, RK), m - nfixed:m] = (
+                fix_ref[:, :nfixed].astype(oscr_re.dtype))
+            oscr_im[pl.ds(slot * RK, RK), m - nfixed:m] = (
+                fix_ref[:, nfixed:].astype(oscr_im.dtype))
+        if size_last == RK:
+            out_copy(oscr_re, dft_re_ref, row0_out, RK, slot, 0).start()
+            out_copy(oscr_im, dft_im_ref, row0_out, RK, slot, 1).start()
+        else:
+            @pl.when(t < n_steps - 1)
+            def _start_full():
+                out_copy(oscr_re, dft_re_ref, row0_out, RK, slot, 0).start()
+                out_copy(oscr_im, dft_im_ref, row0_out, RK, slot, 1).start()
+
+            @pl.when(t == n_steps - 1)
+            def _start_last():
+                out_copy(oscr_re, dft_re_ref, row0_out, size_last,
+                         slot, 0).start()
+                out_copy(oscr_im, dft_im_ref, row0_out, size_last,
+                         slot, 1).start()
+
+        @pl.when(t == n_steps - 1)
+        def _drain():
+            if n_steps >= 2:
+                psl = jnp.mod(t + 1, 2)
+                out_copy(oscr_re, dft_re_ref, (t - 1) * RK, RK,
+                         psl, 0).wait()
+                out_copy(oscr_im, dft_im_ref, (t - 1) * RK, RK,
+                         psl, 1).wait()
+            out_copy(oscr_re, dft_re_ref, row0_out, size_last,
+                     slot, 0).wait()
+            out_copy(oscr_im, dft_im_ref, row0_out, size_last,
+                     slot, 1).wait()
+    else:
+        if nfixed:
+            dft_re_ref[:, m - nfixed:m] = (
+                fix_ref[:, :nfixed].astype(dft_re_ref.dtype))
+            dft_im_ref[:, m - nfixed:m] = (
+                fix_ref[:, nfixed:].astype(dft_im_ref.dtype))
 
 
 def _spectra_prologue(plan: Plan, state: State, samples, K: int,
@@ -818,6 +943,13 @@ def _spectra_prologue(plan: Plan, state: State, samples, K: int,
         fix = jnp.concatenate(
             [jnp.stack(cols_re, axis=-1), jnp.stack(cols_im, axis=-1)],
             axis=-1).reshape(nt * K, 2 * halo)
+        if plan.roi is not None:
+            # output mask on the overwritten top columns (bins m-halo..m-1,
+            # in fix column order)
+            first, last = plan.roi
+            colmask = np.array([1.0 if first <= m - halo + j < last else 0.0
+                                for j in range(halo)], np.float32)
+            fix = fix * jnp.asarray(np.concatenate([colmask, colmask]))[None]
     else:
         fix = jnp.zeros((nt * K, 2), jnp.float32)
 
@@ -1024,9 +1156,12 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
         raise ValueError("non-f32 spectra require layout='planar'")
 
     nfix = fix.shape[-1]
+    manual_out = not interpret
     if interpret:
         table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         scratch = []
+        out_specs = (pl.BlockSpec((R * K, m), lambda t: (t, 0),
+                                  memory_space=pltpu.VMEM),) * 2
     else:
         table_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # HBM; the kernel
         scratch = [                                        # DMAs at t==0
@@ -1034,10 +1169,17 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
             pltpu.VMEM((K, W), jnp.float32),           # dmf im
             pltpu.VMEM((3 * K, 2 * W), jnp.bfloat16),  # stacked conv B
             pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2 * R * K, m), odt),           # out stage re (x2)
+            pltpu.VMEM((2 * R * K, m), odt),           # out stage im
+            pltpu.SemaphoreType.DMA((2, 2)),           # (slot, plane)
         ]
+        # outputs stay in HBM; the kernel ping-pong-stages and DMAs them
+        # itself (see _kernel_spectra_conv manual_out docstring)
+        out_specs = (pl.BlockSpec(memory_space=pltpu.ANY),) * 2
     kernel = functools.partial(_kernel_spectra_conv, plan=plan, tile_k=K,
                                super_r=R, nfixed=halo, crow_stride=stride,
-                               fold_conv=fold_conv,
+                               fold_conv=fold_conv, manual_out=manual_out,
+                               n_out=M, n_steps=nts,
                                dma_tables=not interpret)
     dft_re, dft_im = pl.pallas_call(
         kernel,
@@ -1057,12 +1199,12 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
             table_spec,                                   # stacked conv B
         ],
         out_shape=(jax.ShapeDtypeStruct((M, m), odt),) * 2,
-        out_specs=(pl.BlockSpec((R * K, m), lambda t: (t, 0),
-                                memory_space=pltpu.VMEM),) * 2,
+        out_specs=out_specs,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=None if interpret else DIM_SEMANTICS),
+            dimension_semantics=None if interpret else DIM_SEMANTICS,
+            has_side_effects=True),
         interpret=interpret,
     )(crows, fix, toep_hi, toep_lo, phi, dmf_re, dmf_im, b_conv)
 

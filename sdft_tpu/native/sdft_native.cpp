@@ -40,8 +40,24 @@ Taps taps_for(int32_t window) {
   }
 }
 
-class Engine {
+// FD-precision-generic engine: F = double (reference FD default) or
+// long double (the reference's extended tier, SDFT_FD_* long double at
+// c/src/sdft/sdft.h:21-37,101-125 — x86-64 80-bit extended here).  The
+// ctypes boundary stays complex128/f64; F is the internal accumulation
+// and phase precision.
+class EngineBase {
  public:
+  virtual ~EngineBase() = default;
+  virtual void reset() = 0;
+  virtual void forward(int64_t n, const double* x, cplx* out) = 0;
+  virtual void inverse(int64_t n, const cplx* dfts, double* y) = 0;
+};
+
+template <typename F>
+class Engine : public EngineBase {
+ public:
+  using cf = std::complex<F>;
+
   Engine(int64_t dftsize, int32_t window, double latency, int td_bits)
       : m_(dftsize),
         n2_(2 * dftsize),
@@ -50,28 +66,28 @@ class Engine {
         td_single_(td_bits == 32),
         roots_(n2_),
         synth_(dftsize),
-        ring_(n2_, 0.0),
-        acc_(dftsize, cplx(0.0, 0.0)),
+        ring_(n2_, F(0)),
+        acc_(dftsize, cf(F(0), F(0))),
         expo_(dftsize, 0),
-        aux_(dftsize + 4, cplx(0.0, 0.0)) {
-    const double omega = -M_PI / static_cast<double>(m_);
+        aux_(dftsize + 4, cf(F(0), F(0))) {
+    const F omega = -static_cast<F>(M_PI) / static_cast<F>(m_);
     for (int64_t r = 0; r < n2_; ++r) {
-      roots_[r] = std::polar(1.0, omega * static_cast<double>(r));
+      roots_[r] = std::polar(F(1), omega * static_cast<F>(r));
     }
     // Synthesis phasors with amplitude demodulation
     // (spec: c/src/sdft/sdft.h:440,445,639-653).
     if (latency_ == 1.0) {
-      for (int64_t i = 0; i < m_; ++i) synth_[i] = cplx((i % 2) ? -1.0 : 1.0, 0.0);
+      for (int64_t i = 0; i < m_; ++i) synth_[i] = cf((i % 2) ? F(-1) : F(1), F(0));
     } else {
-      const double w = 2.0 / (1.0 - std::cos(M_PI * latency_));
+      const F w = F(2) / (F(1) - std::cos(static_cast<F>(M_PI) * static_cast<F>(latency_)));
       for (int64_t i = 0; i < m_; ++i) {
-        synth_[i] = std::polar(w, -M_PI * latency_ * static_cast<double>(i));
+        synth_[i] = std::polar(w, -static_cast<F>(M_PI) * static_cast<F>(latency_) * static_cast<F>(i));
       }
     }
     reset();
   }
 
-  void reset() {
+  void reset() override {
     pos_ = 0;
     std::fill(ring_.begin(), ring_.end(), 0.0);
     std::fill(acc_.begin(), acc_.end(), cplx(0.0, 0.0));
@@ -79,14 +95,15 @@ class Engine {
   }
 
   // Forward analysis for n samples; out is row-major (n, m) complex128.
-  void forward(int64_t n, const double* x, cplx* out) {
+  void forward(int64_t n, const double* x, cplx* out) override {
     const Taps t = taps_for(window_);
-    const double weight = 1.0 / static_cast<double>(n2_);
+    const F weight = F(1) / static_cast<F>(n2_);
     for (int64_t s = 0; s < n; ++s) {
       // Comb stage in TD precision, then FD (spec: c/src/sdft/sdft.h:564).
-      double sample = td_single_ ? static_cast<double>(static_cast<float>(x[s])) : x[s];
-      double delta = sample - ring_[pos_];
-      if (td_single_) delta = static_cast<double>(static_cast<float>(delta));
+      F sample = td_single_ ? static_cast<F>(static_cast<float>(x[s]))
+                            : static_cast<F>(x[s]);
+      F delta = sample - ring_[pos_];
+      if (td_single_) delta = static_cast<F>(static_cast<float>(delta));
       ring_[pos_] = sample;
       pos_ = (pos_ + 1 == n2_) ? 0 : pos_ + 1;
 
@@ -110,31 +127,34 @@ class Engine {
       // Frequency-domain window convolution (spec: c/src/sdft/sdft.h:350-402).
       cplx* row = out + s * m_;
       for (int64_t i = 0; i < m_; ++i) {
-        const cplx mid = aux_[i + 2];
-        cplx v = t.c0 * mid;
-        if (t.halo >= 1) v += t.c1 * (aux_[i + 1] + aux_[i + 3]);
-        if (t.halo >= 2) v += t.c2 * (aux_[i] + aux_[i + 4]);
-        row[i] = v * weight;
+        const cf mid = aux_[i + 2];
+        cf v = static_cast<F>(t.c0) * mid;
+        if (t.halo >= 1) v += static_cast<F>(t.c1) * (aux_[i + 1] + aux_[i + 3]);
+        if (t.halo >= 2) v += static_cast<F>(t.c2) * (aux_[i] + aux_[i + 4]);
+        v *= weight;
+        row[i] = cplx(static_cast<double>(v.real()), static_cast<double>(v.imag()));
       }
     }
   }
 
   // Inverse synthesis for n spectra (spec: c/src/sdft/sdft.h:635-657).
-  void inverse(int64_t n, const cplx* dfts, double* y) {
+  void inverse(int64_t n, const cplx* dfts, double* y) override {
     for (int64_t s = 0; s < n; ++s) {
       const cplx* row = dfts + s * m_;
-      double acc = 0.0;
+      F acc = F(0);
       if (latency_ == 1.0) {
         for (int64_t i = 0; i < m_; ++i) {
-          acc += row[i].real() * ((i % 2) ? -1.0 : 1.0);
+          acc += static_cast<F>(row[i].real()) * ((i % 2) ? F(-1) : F(1));
         }
       } else {
         for (int64_t i = 0; i < m_; ++i) {
-          acc += (row[i] * synth_[i]).real();
+          const cf r(static_cast<F>(row[i].real()), static_cast<F>(row[i].imag()));
+          acc += (r * synth_[i]).real();
         }
       }
-      double out = 2.0 * acc;
-      y[s] = td_single_ ? static_cast<double>(static_cast<float>(out)) : out;
+      F out = F(2) * acc;
+      y[s] = td_single_ ? static_cast<double>(static_cast<float>(out))
+                        : static_cast<double>(out);
     }
   }
 
@@ -143,11 +163,11 @@ class Engine {
   int32_t window_;
   double latency_;
   bool td_single_;
-  std::vector<cplx> roots_, synth_;
-  std::vector<double> ring_;
-  std::vector<cplx> acc_;
+  std::vector<cf> roots_, synth_;
+  std::vector<F> ring_;
+  std::vector<cf> acc_;
   std::vector<int64_t> expo_;
-  std::vector<cplx> aux_;
+  std::vector<cf> aux_;
   int64_t pos_ = 0;
 };
 
@@ -155,21 +175,31 @@ class Engine {
 
 extern "C" {
 
-void* sdft_oracle_create(int64_t dftsize, int32_t window, double latency, int32_t td_bits) {
+// fd_bits selects the FD tier: 64 (double, reference default) or 80
+// (long double — the reference's extended tier, c/src/sdft/sdft.h:21-37).
+void* sdft_oracle_create_fd(int64_t dftsize, int32_t window, double latency,
+                            int32_t td_bits, int32_t fd_bits) {
   if (dftsize < 4) return nullptr;
-  return new Engine(dftsize, window, latency, td_bits);
+  if (fd_bits == 80) {
+    return static_cast<EngineBase*>(new Engine<long double>(dftsize, window, latency, td_bits));
+  }
+  return static_cast<EngineBase*>(new Engine<double>(dftsize, window, latency, td_bits));
 }
 
-void sdft_oracle_destroy(void* h) { delete static_cast<Engine*>(h); }
+void* sdft_oracle_create(int64_t dftsize, int32_t window, double latency, int32_t td_bits) {
+  return sdft_oracle_create_fd(dftsize, window, latency, td_bits, 64);
+}
 
-void sdft_oracle_reset(void* h) { static_cast<Engine*>(h)->reset(); }
+void sdft_oracle_destroy(void* h) { delete static_cast<EngineBase*>(h); }
+
+void sdft_oracle_reset(void* h) { static_cast<EngineBase*>(h)->reset(); }
 
 void sdft_oracle_sdft(void* h, int64_t n, const double* x, double* out) {
-  static_cast<Engine*>(h)->forward(n, x, reinterpret_cast<cplx*>(out));
+  static_cast<EngineBase*>(h)->forward(n, x, reinterpret_cast<cplx*>(out));
 }
 
 void sdft_oracle_isdft(void* h, int64_t n, const double* dfts, double* y) {
-  static_cast<Engine*>(h)->inverse(n, reinterpret_cast<const cplx*>(dfts), y);
+  static_cast<EngineBase*>(h)->inverse(n, reinterpret_cast<const cplx*>(dfts), y);
 }
 
 }  // extern "C"

@@ -46,6 +46,13 @@ def _load(engine: str, prefix: str):
             fn.restype = restype
             fn.argtypes = argtypes
             fns[name] = fn
+        # extended-FD constructor (engine #1 only): fd_bits 64 | 80
+        if hasattr(lib, prefix + "create_fd"):
+            fn = getattr(lib, prefix + "create_fd")
+            fn.restype = ctypes.c_void_p
+            fn.argtypes = [ctypes.c_int64, ctypes.c_int32, ctypes.c_double,
+                           ctypes.c_int32, ctypes.c_int32]
+            fns["create_fd"] = fn
         _libs[engine] = fns
     return _libs[engine]
 
@@ -57,14 +64,25 @@ class NativeSDFT:
     _PREFIX = "sdft_oracle_"
 
     def __init__(self, dftsize: int, window="hann", latency: float = 1.0,
-                 td_bits: int = 32):
-        """td_bits=32 matches the reference TD default (float); 64 for all-double."""
+                 td_bits: int = 32, fd_bits: int = 64):
+        """td_bits=32 matches the reference TD default (float); 64 for
+        all-double.  fd_bits=80 selects the extended-precision FD tier
+        (x86 long double) mirroring the reference's third dtype tier
+        (SDFT_FD_* long double, c/src/sdft/sdft.h:21-37,101-125)."""
         self._fns = _load(self._ENGINE, self._PREFIX)
         self.size = int(dftsize)
         self.window = Window.parse(window)
         self.latency = float(latency)
-        self._h = self._fns["create"](
-            self.size, _WINDOW_CODE[self.window], self.latency, td_bits)
+        if fd_bits == 64:
+            self._h = self._fns["create"](
+                self.size, _WINDOW_CODE[self.window], self.latency, td_bits)
+        elif "create_fd" in self._fns:
+            self._h = self._fns["create_fd"](
+                self.size, _WINDOW_CODE[self.window], self.latency, td_bits,
+                fd_bits)
+        else:
+            raise ValueError(
+                f"engine {self._ENGINE!r} has no fd_bits={fd_bits} tier")
         if not self._h:
             raise ValueError(f"oracle rejected dftsize {dftsize}")
 

@@ -162,6 +162,12 @@ def _forward_local(plan: Plan, state: State, samples, *, m_total: int):
     # vmap the phase construction (cheap integer work + cos/sin).
     fid = jax.vmap(lambda ek: fiddle_rows(plan, ek, bins=bins))(e)        # (C, L, mb)
     rot = delta[..., None].astype(cd) * fid
+    if plan.roi is not None:
+        # bins outside the ROI are never accumulated (c/src/sdft/sdft.h:570);
+        # shards fully outside contribute zeros
+        first, last = plan.roi
+        roi = ((bins >= first) & (bins < last)).astype(fd)
+        rot = rot * roi
 
     # Seed the scan with the carried accumulator on the first time shard.
     acc_seed = jnp.where(d == 0, acc_in, jnp.zeros_like(acc_in))
@@ -178,7 +184,11 @@ def _forward_local(plan: Plan, state: State, samples, *, m_total: int):
     aux = cum * demod
     halo = WINDOW_HALO[plan.window]
     padded = _bin_halo_exchange(aux, halo, "bins")
-    dfts = cplx.pack(window_convolve(plan, padded, edges=False))
+    out = window_convolve(plan, padded, edges=False)
+    if plan.roi is not None:
+        # conv spill past the ROI edge reads as zero (ops.analysis semantics)
+        out = out * roi.astype(out.dtype)
+    dfts = cplx.pack(out)
 
     # --- next state -------------------------------------------------------
     new_state = State(
@@ -327,6 +337,14 @@ def _hopped_local(plan: Plan, state: State, samples, fine_re, fine_im,
     # local bin columns of the hop-tile phase table
     fre = lax.dynamic_slice_in_dim(fine_re, b0, mb, axis=1)
     fim = lax.dynamic_slice_in_dim(fine_im, b0, mb, axis=1)
+    roi = None
+    if plan.roi is not None:
+        # bins outside the ROI are never accumulated; shards fully outside
+        # contribute zeros (_hopped_nd semantics under bin sharding)
+        first, last = plan.roi
+        roi = ((bins >= first) & (bins < last)).astype(fd)
+        fre = fre * roi
+        fim = fim * roi
     hi = plan.precision.mxu_precision
 
     samples = samples.astype(td)
@@ -365,13 +383,15 @@ def _hopped_local(plan: Plan, state: State, samples, fine_re, fine_im,
     # accumulator right after each tile's first sample; demodulate by
     # conj(T^(e0+1)) = conj(row0) * conj(T_j)  (c/src/sdft/sdft.h:585)
     d0 = dt[:, :, 0].astype(cd)[..., None]
-    acc_sel = prefix + d0 * row0
+    acc_sel = prefix + d0 * (row0 if roi is None else row0 * roi)
     conj_base = jnp.exp(1j * (np.pi / m) * bins.astype(fd)).astype(cd)
     aux = acc_sel * jnp.conj(row0) * conj_base
 
     halo = WINDOW_HALO[plan.window]
     padded = _bin_halo_exchange(aux, halo, "bins")
     out = window_convolve(plan, padded, edges=False)
+    if roi is not None:
+        out = out * roi.astype(out.dtype)
 
     new_state = State(
         offset=jnp.mod(state.offset + m_total, n2).astype(state.offset.dtype),
@@ -383,11 +403,6 @@ def _hopped_local(plan: Plan, state: State, samples, fine_re, fine_im,
 
 
 def _check_layout(plan: Plan, mesh: Mesh, C: int, M: int):
-    if plan.roi is not None:
-        # ROI is the single-device ancestor of bin sharding (SURVEY.md §2.4);
-        # combining both would shard an already-restricted band.
-        raise ValueError("roi-restricted plans are not supported under "
-                         "sharded execution; shard the bins axis instead")
     ax = dict(zip(mesh.axis_names, mesh.devices.shape))
     nc, nt, nb = ax["channel"], ax["time"], ax["bins"]
     if C % nc:

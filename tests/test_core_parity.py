@@ -299,3 +299,49 @@ def test_large_dftsize_f32_fast_path():
     # y is a near-total cancellation over 65536 bins this early in the
     # window; gate against the driving amplitude (measured 3.5e-9)
     assert np.abs(np.asarray(y) - y_want).max() < 1e-6 * np.abs(x).max()
+
+
+def test_interleaved_frame_adapter():
+    """(M, C) interleaved frames round-trip through the sdft_sdft_nd-layout
+    adapters (c/src/sdft/sdft.h:615-633,676-694) identically to the
+    channel-major batch."""
+    from sdft_tpu import (Plan, init_state, isdft, isdft_interleaved, sdft,
+                          sdft_interleaved)
+
+    plan = Plan(32)
+    C, M = 3, 96
+    rng = np.random.default_rng(9)
+    frames = rng.standard_normal((M, C))
+
+    st = init_state(plan, channels=C)
+    st_i, d_i = sdft_interleaved(plan, st, frames)
+    st_c, d_c = sdft(plan, st, np.ascontiguousarray(frames.T))
+    np.testing.assert_array_equal(np.asarray(d_i), np.asarray(d_c))
+    np.testing.assert_array_equal(np.asarray(st_i.accumulator),
+                                  np.asarray(st_c.accumulator))
+
+    y_i = np.asarray(isdft_interleaved(plan, d_i))
+    assert y_i.shape == (M, C)
+    np.testing.assert_array_equal(y_i, np.asarray(isdft(plan, d_c)).T)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="interleaved"):
+        sdft_interleaved(plan, init_state(plan), frames[:, 0])
+
+
+def test_oracle_extended_fd_tier():
+    """The native engine's fd_bits=80 (x86 long double) tier — the
+    counterpart of the reference's SDFT_FD_* long double
+    (c/src/sdft/sdft.h:21-37,101-125) — agrees with the double tier to
+    f64 rounding while being a genuinely distinct accumulation path."""
+    from sdft_tpu.oracle import NativeSDFT
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(4096)
+    e64 = NativeSDFT(128, "hann", td_bits=64)
+    e80 = NativeSDFT(128, "hann", td_bits=64, fd_bits=80)
+    d64 = e64.sdft(x)
+    d80 = e80.sdft(x)
+    diff = np.abs(d64 - d80).max()
+    assert 0 < diff < 1e-12
+    np.testing.assert_allclose(e64.isdft(d64), e80.isdft(d80), atol=1e-12)
