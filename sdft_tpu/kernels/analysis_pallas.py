@@ -92,13 +92,27 @@ def _round_up(x: int, mult: int) -> int:
 
 def plan_supported(plan: Plan, M: int) -> bool:
     del M  # any block length: partial tiles are zero-padded internally
+    from ..ops.twiddle import MAX_INT32_DFTSIZE
+
+    p = plan.precision.resolve()
     return (
-        plan.precision.resolve().td == "float32"
-        and plan.precision.resolve().fd == "float32"
+        p.td == "float32"
+        and p.fd == "float32"
         and plan.dftsize >= 128
-        and (2 * plan.dftsize - 1) * (plan.dftsize - 1) < 2 ** 31  # int32 phases
-        and plan.roi is None  # partial-band plans take the XLA path
+        and plan.dftsize <= MAX_INT32_DFTSIZE   # int32 two-level phases
+        # a VMEM-feasible spectra-kernel tile configuration must exist
+        # (forward_block_pallas auto-routes toephoist -> toepconv for ROI
+        # plans and for dftsizes whose toephoist tables would blow VMEM)
+        and _conv_pick_tiles(plan.dftsize, 4) is not None
     )
+
+
+def _toephoist_vmem_ok(m: int, K: int) -> bool:
+    """VMEM estimate for the toephoist kernel: resident tables 20*K*W,
+    the (K, 2W) dots temp, double-buffered f32 out blocks."""
+    W = _round_up(m, 128) + 2 * PAD
+    est = 20 * K * W + 8 * K * W + 4 * K * m * 4
+    return est <= 80 * 1024 * 1024
 
 
 def _cumsum_rows(v, K, mode="mxu2"):
@@ -414,7 +428,8 @@ def _spectra_tables(plan: Plan, K: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _spectra_tables_conv(plan: Plan, K: int, fold: bool = True):
+def _spectra_tables_conv(plan: Plan, K: int, fold: bool = True,
+                         lean: bool = False):
     """Device tables for the conv-folded spectra kernel (_kernel_spectra_conv).
 
     The window's bin convolution (c/src/sdft/sdft.h:350-402) is linear and
@@ -501,10 +516,16 @@ def _spectra_tables_conv(plan: Plan, K: int, fold: bool = True):
         phi[:, 2 * (h - 1)] = np.cos(aph)
         phi[:, 2 * (h - 1) + 1] = np.sin(aph)
 
+    # "lean" (bf16-output fast mode): the carry-demod planes round to
+    # bf16 — their 2^-8 relative error sits at the bf16 OUTPUT rounding
+    # class and halves the kernel's dominant VMEM read traffic
+    ddt = jnp.bfloat16 if lean else jnp.float32
     with jax.ensure_compile_time_eval():
-        return tuple(jnp.asarray(a) for a in
-                     (fine_re, fine_im, dre.astype(np.float32),
-                      dim.astype(np.float32), b_conv, phi))
+        return tuple(jnp.asarray(a, d) for a, d in
+                     ((fine_re, jnp.float32), (fine_im, jnp.float32),
+                      (dre.astype(np.float32), ddt),
+                      (dim.astype(np.float32), ddt),
+                      (b_conv, jnp.bfloat16), (phi, jnp.float32)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -640,7 +661,7 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
                          super_r: int, nfixed: int, crow_stride: int,
                          fold_conv: bool, manual_out: bool = False,
                          n_out: int = 0, n_steps: int = 0,
-                         dma_tables: bool = True):
+                         lean: bool = False, dma_tables: bool = True):
     """Super-tiled stateless spectra step: R tiles of K samples per step,
     ONE (R*K, 3K) @ (3K, 2W) bf16-split contraction — the Toeplitz depth K
     (MXU work per sample) is decoupled from the R*K samples each grid step
@@ -729,8 +750,8 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
                                + a[:, PAD + 2:PAD + m + 2])
         return out
 
-    mre = dmf_re[:]
-    mim = dmf_im[:]
+    mre = dmf_re[:].astype(jnp.float32)
+    mim = dmf_im[:].astype(jnp.float32)
 
     def dot_sub(r):
         """Subtile r's contraction into a FRESH temp — no WAR hazard, so
@@ -738,7 +759,10 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
         rows = slice(r * K, (r + 1) * K)
         A_r = jnp.concatenate([toep_hi_ref[rows, :], toep_hi_ref[rows, :],
                                toep_lo_ref[rows, :]], axis=1)     # (K, 3K)
-        return jnp.dot(A_r, b_conv[:], preferred_element_type=jnp.float32)
+        # lean: the MXU emits bf16 dots (f32 internal accumulation, output
+        # rounded) — halves the dots temp's VMEM write+read traffic
+        odt_dots = jnp.bfloat16 if lean else jnp.float32
+        return jnp.dot(A_r, b_conv[:], preferred_element_type=odt_dots)
 
     def vpu_store(r, dsub):
         base = r * crow_stride
@@ -756,15 +780,19 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
                 phm = phi_ref[:, 2 * (h - 1) + 1:2 * (h - 1) + 2]
                 d_re = d_re + phr * s_r - phm * t_i
                 d_im = d_im + phr * s_i + phm * t_r
-            out_re = dsub[:, :W] + (mre * d_re - mim * d_im)
-            out_im = dsub[:, W:] + (mre * d_im + mim * d_re)
+            out_re = dsub[:, :W].astype(jnp.float32) + (mre * d_re
+                                                        - mim * d_im)
+            out_im = dsub[:, W:].astype(jnp.float32) + (mre * d_im
+                                                        + mim * d_re)
             out_re = out_re[:, PAD:PAD + m]
             out_im = out_im[:, PAD:PAD + m]
         else:
             c_re = crows_ref[base + 0:base + 1, :]
             c_im = crows_ref[base + 1:base + 2, :]
-            aux_re = dsub[:, :W] + (c_re * mre - c_im * mim)
-            aux_im = dsub[:, W:] + (c_re * mim + c_im * mre)
+            aux_re = dsub[:, :W].astype(jnp.float32) + (c_re * mre
+                                                        - c_im * mim)
+            aux_im = dsub[:, W:].astype(jnp.float32) + (c_re * mim
+                                                       + c_im * mre)
             out_re = conv(aux_re)
             out_im = conv(aux_im)
             if plan.roi is not None:
@@ -1081,12 +1109,12 @@ def _conv_pick_tiles(m: int, out_bytes: int) -> tuple[int, int] | None:
     return None
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9, 10))
 def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
                          interpret: bool = False, tile_k: int = CONV_TILE_K,
                          super_r: int = CONV_SUPER_R, layout: str = "packed",
                          out_dtype: str | None = None,
-                         fold_conv: bool = True):
+                         fold_conv: bool = True, lean: bool = False):
     """Forward spectra via the conv-folded hoisted-Toeplitz kernel.
 
     Same hoisting strategy as _launch_spectra_toeplitz (all sequential
@@ -1164,9 +1192,10 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
                                   memory_space=pltpu.VMEM),) * 2
     else:
         table_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # HBM; the kernel
+        ddt = jnp.bfloat16 if lean else jnp.float32
         scratch = [                                        # DMAs at t==0
-            pltpu.VMEM((K, W), jnp.float32),           # dmf re
-            pltpu.VMEM((K, W), jnp.float32),           # dmf im
+            pltpu.VMEM((K, W), ddt),                   # dmf re
+            pltpu.VMEM((K, W), ddt),                   # dmf im
             pltpu.VMEM((3 * K, 2 * W), jnp.bfloat16),  # stacked conv B
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.VMEM((2 * R * K, m), odt),           # out stage re (x2)
@@ -1179,7 +1208,7 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
     kernel = functools.partial(_kernel_spectra_conv, plan=plan, tile_k=K,
                                super_r=R, nfixed=halo, crow_stride=stride,
                                fold_conv=fold_conv, manual_out=manual_out,
-                               n_out=M, n_steps=nts,
+                               n_out=M, n_steps=nts, lean=lean,
                                dma_tables=not interpret)
     dft_re, dft_im = pl.pallas_call(
         kernel,
@@ -1363,6 +1392,15 @@ def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
     if cumsum_mode not in ("toepconv", "toephoist", "mxu2", "mxu3", "vpu",
                            "mxu_f32"):
         raise ValueError(f"unknown cumsum_mode {cumsum_mode!r}")
+    if cumsum_mode == "toephoist" and (
+            plan.roi is not None
+            or not _toephoist_vmem_ok(plan.dftsize,
+                                      tile_k or SPECTRA_TILE_K)):
+        # ROI folds into the toepconv tables; large dftsizes whose
+        # toephoist tables would exceed the VMEM budget (ADVICE r3 #2)
+        # take the auto-sized toepconv configuration instead
+        cumsum_mode = "toepconv"
+        tile_k = None
     if cumsum_mode == "toepconv":
         odt_bytes = 2 if out_dtype == "bfloat16" else 4
         pick = _conv_pick_tiles(plan.dftsize, odt_bytes)
@@ -1373,11 +1411,14 @@ def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
             K = tile_k if tile_k is not None else auto_k
             R = super_r if super_r is not None else (auto_r if tile_k is None
                                                     else 1)
-            tables = (_spectra_tables_conv(plan, K, fold_conv)
+            # bf16 output: lean tables/dots (their rounding sits at the
+            # output rounding class and halves the kernel's VMEM traffic)
+            lean = out_dtype == "bfloat16" and not interpret
+            tables = (_spectra_tables_conv(plan, K, fold_conv, lean)
                       + _coarse_rows_host(plan, K))
             return _launch_spectra_conv(plan, state, samples, tables,
                                         interpret, K, R, layout, out_dtype,
-                                        fold_conv)
+                                        fold_conv, lean)
     if cumsum_mode == "toephoist":
         if tile_k is None:
             tile_k = SPECTRA_TILE_K  # measured optimum for this kernel

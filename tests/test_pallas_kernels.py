@@ -138,11 +138,14 @@ def test_planar_layout_matches_packed():
 def test_plan_supported_gates():
     assert not plan_supported(Plan(100, precision=F32), 64)     # m < 128
     assert not plan_supported(Plan(256), 64)                    # f64 fd
-    assert not plan_supported(Plan(256, precision=F32, roi=(0, 128)), 64)
+    # ROI plans ride the toepconv kernel now (masks fold into the tables)
+    assert plan_supported(Plan(256, precision=F32, roi=(0, 128)), 64)
     # any m >= 128 and any block length are in-kernel now (internal padding)
     assert plan_supported(Plan(256, precision=F32), 100)
     assert plan_supported(Plan(1000, precision=F32), 2100)      # canonical m
     assert plan_supported(Plan(4096, precision=F32), 16384)
+    # dftsizes whose tables cannot fit VMEM fall back to the XLA path
+    assert not plan_supported(Plan(1 << 17, precision=F32), 4096)
 
 
 def test_bf16_spectra_output():
