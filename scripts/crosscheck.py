@@ -135,6 +135,18 @@ def main(argv=None):
         print(f"native #1 vs #2 dft max abs diff: {nerr:.3e} (tolerance 1e-12)")
         assert nerr < 1e-12, nerr
 
+        # extended-precision FD corner (the reference's long-double tier,
+        # c/src/sdft/sdft.h:21-37): fd_bits=80 must agree with the double
+        # tier to f64 rounding on the first hops
+        eng80 = NativeSDFT(dftsize, window, latency, td_bits=64, fd_bits=80)
+        xerr = 0.0
+        for h in range(min(hops, 16)):
+            d80 = eng80.sdft(x[h * hopsize:(h + 1) * hopsize])
+            xerr = max(xerr, float(np.abs(d80[0] - dfts_ref[h]).max()))
+        print(f"native fd80 vs fd64 dft max abs diff: {xerr:.3e} "
+              f"(tolerance 1e-12)")
+        assert xerr < 1e-12, xerr
+
         dfts_tpu = load_complex(str(out_dft), dftsize)
         y_tpu, _ = read_wav(str(out_wav))
 
