@@ -189,18 +189,20 @@ def bench_tpu():
     # first spectra, test/test.c:69-83) in its chained in-program form —
     # the path the CLI runs (api.roundtrip_hopped); canonical m=1000,
     # hop=100 (test/main.sh:3-6)
-    from sdft_tpu.ops.lti import roundtrip_hopped_block
+    from sdft_tpu import roundtrip_hopped
 
     DRV_M, DRV_HOP, DRV_BLOCK = 1000, 100, 4000
     plan_drv = Plan(DRV_M, window="hann", precision=FAST_PRECISION)
 
-    def drv_step(st, x):
-        st, hd, y = roundtrip_hopped_block(plan_drv, st, x, DRV_HOP,
-                                           refresh=True)
-        return st, jnp.sum(y * y) + jnp.sum(hd)
+    # the whole chained segment is ONE batched program (no scan) —
+    # ops.lti._driver_segment_nd; marginal over the number of chained blocks
+    @functools.partial(jax.jit, static_argnums=2)
+    def drv_many(state, xs, k):
+        st, hd, ys = roundtrip_hopped(plan_drv, state, xs[:k], DRV_HOP)
+        return jnp.sum(ys * ys) + jnp.sum(hd)
 
     xs_d = randn((K_HI, DRV_BLOCK))
-    per_d, sig_d, _, _ = marginal(chain(drv_step), init_state(plan_drv),
+    per_d, sig_d, _, _ = marginal(drv_many, init_state(plan_drv),
                                   xs_d, K_HI)
     rate_d = DRV_BLOCK / per_d
     log(f"tpu driver protocol (m=1000 hop=100 chained): {per_d * 1e3:.3f} "

@@ -77,10 +77,10 @@ def main():
             f"{BLOCK / per / 1e6:6.1f} M samples/s  sig {sig:.0%}  "
             f"relerr {err:.2e}")
 
-    run("lean fold bf16 (K=64, R=4)", 64, 4, "bfloat16")
     run("lean fold bf16 (K=64, R=8)", 64, 8, "bfloat16")
-    run("lean fold bf16 (K=96, R=4)", 96, 4, "bfloat16")
+    run("lean fold bf16 (K=64, R=16)", 64, 16, "bfloat16")
     run("lean nofold bf16 (K=64, R=8)", 64, 8, "bfloat16", fold_conv=False)
+    run("lean fold bf16 (K=96, R=4)", 96, 4, "bfloat16")
     del xs
 
     # --- fused driver protocol (m=1000, hop=100, chained) -----------------
@@ -103,9 +103,10 @@ def main():
         return st, jnp.sum(y * y) + jnp.sum(hd)
 
     for name, fn in [("driver fused (refresh=1)", drv_fused),
-                     ("driver legacy 2-pass", drv_legacy)]:
+                     ("driver legacy 2-pass", drv_legacy),
+                     ("driver fused (rpt)", drv_fused)]:
         r = benchmark_marginal(fn, init_state(plan_drv), xs_d, k_lo=8,
-                               k_hi=520, repeats=4)
+                               k_hi=520, repeats=8)
         per = r["seconds"]
         sig = (r["chain_hi_seconds"] - r["chain_lo_seconds"]
                ) / r["chain_hi_seconds"]
@@ -116,7 +117,7 @@ def main():
     # --- block=32768 auto-tile consistency row (VERDICT r3 weak#4) --------
     xs2 = jax.jit(lambda: jax.random.normal(
         jax.random.key(2), (520, 32768), jnp.float32))()
-    for kt in (None, 128, 256, 512):
+    for kt in (None,):
         def rt(st, x, kt=kt):
             return roundtrip_block_lti(plan, st, x, kt)
         r = benchmark_marginal(rt, init_state(plan), xs2, k_lo=8, k_hi=520,

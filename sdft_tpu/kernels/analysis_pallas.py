@@ -759,10 +759,9 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
         rows = slice(r * K, (r + 1) * K)
         A_r = jnp.concatenate([toep_hi_ref[rows, :], toep_hi_ref[rows, :],
                                toep_lo_ref[rows, :]], axis=1)     # (K, 3K)
-        # lean: the MXU emits bf16 dots (f32 internal accumulation, output
-        # rounded) — halves the dots temp's VMEM write+read traffic
-        odt_dots = jnp.bfloat16 if lean else jnp.float32
-        return jnp.dot(A_r, b_conv[:], preferred_element_type=odt_dots)
+        # (a bf16 preferred_element_type would halve the dots temp traffic,
+        # but Mosaic requires 32-bit matmul accumulators)
+        return jnp.dot(A_r, b_conv[:], preferred_element_type=jnp.float32)
 
     def vpu_store(r, dsub):
         base = r * crow_stride
@@ -1093,16 +1092,18 @@ def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
 
 
 def _conv_pick_tiles(m: int, out_bytes: int) -> tuple[int, int] | None:
-    """(tile_k, super_r) for the conv-folded kernel under the VMEM budget,
+    """(tile_k, super_r) for the super-tiled kernel under the VMEM budget,
     or None if no configuration fits (caller falls back to the XLA path).
 
+    Preference order is the measured optimum per output element type
+    (docs/PERF.md round-4 sweep: f32 -> K=96/R=4, bf16 -> K=64/R=8).
     Budget model (bytes): resident tables 20*K*W (two f32 dmf planes + the
     (3K, 2W) bf16 split stack), the (R*K, 2W) f32 dots intermediate, and the
-    double-buffered output blocks 2 planes * R*K*m * out_bytes * 2.
+    double-buffered output staging 2 planes * R*K*m * out_bytes * 2.
     """
     W = _round_up(m, 128) + 2 * PAD
-    for K, R in ((CONV_TILE_K, CONV_SUPER_R), (64, 2), (64, 1), (32, 2),
-                 (32, 1)):
+    prefs = ((96, 4),) if out_bytes == 4 else ((64, 8),)
+    for K, R in prefs + ((64, 4), (64, 2), (64, 1), (32, 2), (32, 1)):
         est = 20 * K * W + 8 * R * K * W + 4 * R * K * m * out_bytes
         if est <= 80 * 1024 * 1024:
             return K, R
@@ -1184,7 +1185,11 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
         raise ValueError("non-f32 spectra require layout='planar'")
 
     nfix = fix.shape[-1]
-    manual_out = not interpret
+    # manual ping-pong output DMA measured IDENTICAL to Mosaic's automatic
+    # out-block pipelining (docs/PERF.md round-4: the kernel is VMEM-bound,
+    # not store-bound) and its ANY-space outputs do not vmap — keep the
+    # machinery for re-measurement but ship the automatic path
+    manual_out = False
     if interpret:
         table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         scratch = []
@@ -1198,13 +1203,19 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
             pltpu.VMEM((K, W), ddt),                   # dmf im
             pltpu.VMEM((3 * K, 2 * W), jnp.bfloat16),  # stacked conv B
             pltpu.SemaphoreType.DMA((3,)),
-            pltpu.VMEM((2 * R * K, m), odt),           # out stage re (x2)
-            pltpu.VMEM((2 * R * K, m), odt),           # out stage im
-            pltpu.SemaphoreType.DMA((2, 2)),           # (slot, plane)
         ]
-        # outputs stay in HBM; the kernel ping-pong-stages and DMAs them
-        # itself (see _kernel_spectra_conv manual_out docstring)
-        out_specs = (pl.BlockSpec(memory_space=pltpu.ANY),) * 2
+        if manual_out:
+            scratch += [
+                pltpu.VMEM((2 * R * K, m), odt),       # out stage re (x2)
+                pltpu.VMEM((2 * R * K, m), odt),       # out stage im
+                pltpu.SemaphoreType.DMA((2, 2)),       # (slot, plane)
+            ]
+            # outputs stay in HBM; the kernel ping-pong-stages and DMAs
+            # them itself (see _kernel_spectra_conv manual_out docstring)
+            out_specs = (pl.BlockSpec(memory_space=pltpu.ANY),) * 2
+        else:
+            out_specs = (pl.BlockSpec((R * K, m), lambda t: (t, 0),
+                                      memory_space=pltpu.VMEM),) * 2
     kernel = functools.partial(_kernel_spectra_conv, plan=plan, tile_k=K,
                                super_r=R, nfixed=halo, crow_stride=stride,
                                fold_conv=fold_conv, manual_out=manual_out,
@@ -1371,9 +1382,9 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
 
 
 def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
-                         cumsum_mode="toephoist", tile_k=None,
+                         cumsum_mode="toepconv", tile_k=None,
                          layout="packed", out_dtype=None, super_r=None,
-                         fold_conv=True):
+                         fold_conv=False):
     """Fused forward analysis.
 
     Returns (state, dfts) with dfts packed (M, m, 2), or — with
@@ -1411,9 +1422,10 @@ def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
             K = tile_k if tile_k is not None else auto_k
             R = super_r if super_r is not None else (auto_r if tile_k is None
                                                     else 1)
-            # bf16 output: lean tables/dots (their rounding sits at the
-            # output rounding class and halves the kernel's VMEM traffic)
-            lean = out_dtype == "bfloat16" and not interpret
+            # "lean" bf16 tables measured NO speedup and 2x error
+            # (docs/PERF.md round-4) — plumbing kept for re-measurement,
+            # default off
+            lean = False
             tables = (_spectra_tables_conv(plan, K, fold_conv, lean)
                       + _coarse_rows_host(plan, K))
             return _launch_spectra_conv(plan, state, samples, tables,

@@ -159,10 +159,15 @@ def test_bf16_spectra_output():
     plan = Plan(m, precision=F32)
     state = init_state(plan)
 
+    # pin the tile configuration: the auto pick is out-dtype-dependent
+    # (f32 -> (96,4), bf16 -> (64,8)) and different tiles reassociate the
+    # f32 sums differently, which is not what this test gates
     st32, (re32, im32) = forward_block_pallas(plan, state, x, interpret=True,
-                                              layout="planar")
+                                              layout="planar", tile_k=64,
+                                              super_r=4)
     st16, (re16, im16) = forward_block_pallas(plan, state, x, interpret=True,
-                                              layout="planar",
+                                              layout="planar", tile_k=64,
+                                              super_r=4,
                                               out_dtype="bfloat16")
     assert re16.dtype == jnp.bfloat16 and im16.dtype == jnp.bfloat16
     # the scan stays f32: bf16 output equals the rounded f32 planes exactly
