@@ -92,6 +92,13 @@ def bench_tpu():
         t_hi = timed(k_hi)
         per = (t_hi - t_lo) / (k_hi - K_LO)
         signal = (t_hi - t_lo) / t_hi  # fraction of t_hi that is marginal
+        if per <= 0:
+            # tunnel noise swamped the marginal (t_hi sampled faster than
+            # t_lo): fall back to the amortized long-chain cost — a valid
+            # upper bound that keeps the derived rate finite and positive
+            # (same policy as profiling.benchmark_marginal)
+            per = t_hi / k_hi
+            signal = 0.0
         return per, signal, t_lo, t_hi
 
     # headline: the collapsed LTI round trip (sdft_tpu.ops.lti) — all FLOPs

@@ -529,6 +529,88 @@ def _spectra_tables_conv(plan: Plan, K: int, fold: bool = True,
 
 
 @functools.lru_cache(maxsize=None)
+def _spectra_tables_direct(plan: Plan, K: int, lean: bool = False):
+    """Device tables for the DIRECT spectra kernel variant: per-plane
+    conv-folded contraction tables on the m-window (bins [0, mp), no pad
+    columns), so each plane's (K, 3K) @ (3K, mp) dot is stored straight to
+    the output block and the carry is applied read-modify-write — no
+    2W-wide dots temp.  Returns (fine_re, fine_im [W-wide, prologue],
+    dmfm_re, dmfm_im (K, mp), b_dre, b_dim (3K, mp), phi)."""
+    m = plan.dftsize
+    n2 = 2 * m
+    W = _round_up(m, 128) + 2 * PAD
+    mp = _round_up(m, 128)
+    halo = WINDOW_HALO[plan.window]
+    taps = [float(c) * plan.analysis_weight for c in WINDOW_TAPS[plan.window]]
+    i = np.arange(W) - PAD
+    i2 = np.arange(mp)
+    k = np.arange(K)
+
+    if plan.roi is not None:
+        first, last = plan.roi
+        bmW = np.where(i < 0, -i, np.where(i >= m, 2 * m - 2 - i, i))
+        maskW = ((bmW >= first) & (bmW < last)).astype(np.float64)
+        mask2 = (((i2 >= first) & (i2 < last)) & (i2 < m)).astype(np.float64)
+    else:
+        maskW = np.ones(W)
+        mask2 = (i2 < m).astype(np.float64)
+
+    rf = (k[:, None] * i[None, :]) % n2
+    af = (-np.pi / m) * rf
+    fine_re = (np.cos(af) * maskW).astype(np.float32)
+    fine_im = (np.sin(af) * maskW).astype(np.float32)
+
+    dmfc_re = np.zeros((K, mp))
+    dmfc_im = np.zeros((K, mp))
+    dre = np.zeros((K, mp))
+    dim = np.zeros((K, mp))
+    for g in range(-halo, halo + 1):
+        rd = ((k[:, None] + 1) * (i2[None, :] + g)) % n2
+        ad = (np.pi / m) * rd
+        mg = np.zeros(mp)
+        if g >= 0:
+            mg[:mp - g] = mask2[g:]
+        else:
+            mg[-g:] = mask2[:mp + g]
+        # the g<0 read at bin -1 is the Hermitian DC mirror of bin +1 for
+        # real input: mask it like its mirror
+        if g < 0 and plan.roi is None:
+            mg[:-g] = 1.0
+        elif g < 0 and plan.roi is not None:
+            first, last = plan.roi
+            for jj in range(-g):
+                bb = -(i2[jj] + g)
+                mg[jj] = 1.0 if first <= bb < last else 0.0
+        dmfc_re += taps[abs(g)] * mg * np.cos(ad)
+        dmfc_im += taps[abs(g)] * mg * np.sin(ad)
+        if g == 0:
+            dre = np.cos(ad) * mask2
+            dim = np.sin(ad) * mask2
+    dmfc_re *= mask2
+    dmfc_im *= mask2
+
+    hr, lr = _bf16_split_host(dmfc_re.astype(np.float32))
+    hi_, li = _bf16_split_host(dmfc_im.astype(np.float32))
+    b_dre = np.concatenate([hr, lr, hr], axis=0)       # (3K, mp)
+    b_dim = np.concatenate([hi_, li, hi_], axis=0)
+
+    phi = np.zeros((K, 128), np.float32)
+    for h in range(1, halo + 1):
+        aph = (np.pi / m) * (((k + 1) * h) % n2)
+        phi[:, 2 * (h - 1)] = np.cos(aph)
+        phi[:, 2 * (h - 1) + 1] = np.sin(aph)
+
+    ddt = jnp.bfloat16 if lean else jnp.float32
+    with jax.ensure_compile_time_eval():
+        return tuple(jnp.asarray(a, d) for a, d in
+                     ((fine_re, jnp.float32), (fine_im, jnp.float32),
+                      (dre.astype(np.float32), ddt),
+                      (dim.astype(np.float32), ddt),
+                      (b_dre, jnp.bfloat16), (b_dim, jnp.bfloat16),
+                      (phi, jnp.float32)))
+
+
+@functools.lru_cache(maxsize=None)
 def _coarse_rows_host(plan: Plan, K: int):
     """Host table C[j, i] = T_i^(j*K mod 2m) for the q distinct coarse
     exponents (q = period of t*K mod 2m), padded bin axis.  f32."""
@@ -661,7 +743,8 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
                          super_r: int, nfixed: int, crow_stride: int,
                          fold_conv: bool, manual_out: bool = False,
                          n_out: int = 0, n_steps: int = 0,
-                         lean: bool = False, dma_tables: bool = True):
+                         lean: bool = False, direct: bool = False,
+                         dma_tables: bool = True):
     """Super-tiled stateless spectra step: R tiles of K samples per step,
     ONE (R*K, 3K) @ (3K, 2W) bf16-split contraction — the Toeplitz depth K
     (MXU work per sample) is decoupled from the R*K samples each grid step
@@ -699,26 +782,32 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
 
     t = pl.program_id(0)
     oscr_re = oscr_im = osems = None
+    nt_tab = 4 if direct else 3
     if dma_tables:
-        hbm_tables = refs[:3]
-        dft_re_ref, dft_im_ref = refs[3], refs[4]
-        scratch_tables = refs[5:8]
-        sems = refs[8]
-        dmf_re, dmf_im, b_conv = scratch_tables
+        hbm_tables = refs[:nt_tab]
+        dft_re_ref, dft_im_ref = refs[nt_tab], refs[nt_tab + 1]
+        scratch_tables = refs[nt_tab + 2:2 * nt_tab + 2]
+        sems = refs[2 * nt_tab + 2]
+        if direct:
+            dmf_re, dmf_im, b_conv, b_conv2 = scratch_tables
+        else:
+            dmf_re, dmf_im, b_conv = scratch_tables
+            b_conv2 = None
         if manual_out:
-            oscr_re, oscr_im, osems = refs[9], refs[10], refs[11]
+            oscr_re, oscr_im, osems = refs[2 * nt_tab + 3:2 * nt_tab + 6]
 
         @pl.when(t == 0)
         def _load_tables():
-            for idx in range(3):
+            for idx in range(nt_tab):
                 pltpu.make_async_copy(hbm_tables[idx], scratch_tables[idx],
                                       sems.at[idx]).start()
-            for idx in range(3):
+            for idx in range(nt_tab):
                 pltpu.make_async_copy(hbm_tables[idx], scratch_tables[idx],
                                       sems.at[idx]).wait()
     else:
         dmf_re, dmf_im, b_conv = refs[:3]
-        dft_re_ref, dft_im_ref = refs[3], refs[4]
+        b_conv2 = refs[3] if direct else None
+        dft_re_ref, dft_im_ref = refs[nt_tab], refs[nt_tab + 1]
 
     RK = R * K
     if manual_out:
@@ -761,24 +850,52 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
                                toep_lo_ref[rows, :]], axis=1)     # (K, 3K)
         # (a bf16 preferred_element_type would halve the dots temp traffic,
         # but Mosaic requires 32-bit matmul accumulators)
+        if direct:
+            return (jnp.dot(A_r, b_conv[:],
+                            preferred_element_type=jnp.float32),
+                    jnp.dot(A_r, b_conv2[:],
+                            preferred_element_type=jnp.float32))
         return jnp.dot(A_r, b_conv[:], preferred_element_type=jnp.float32)
+
+    def carry_rows(base):
+        """Convolved-domain carry factors D_re, D_im from the packed
+        launcher rows (the rank-1 phi expansion)."""
+        d_re = crows_ref[base + 0:base + 1, :]
+        d_im = crows_ref[base + 1:base + 2, :]
+        for h in range(1, halo + 1):
+            o = base + 2 + 4 * (h - 1)
+            s_r = crows_ref[o + 0:o + 1, :]
+            s_i = crows_ref[o + 1:o + 2, :]
+            t_r = crows_ref[o + 2:o + 3, :]
+            t_i = crows_ref[o + 3:o + 4, :]
+            phr = phi_ref[:, 2 * (h - 1):2 * (h - 1) + 1]          # (K, 1)
+            phm = phi_ref[:, 2 * (h - 1) + 1:2 * (h - 1) + 2]
+            d_re = d_re + phr * s_r - phm * t_i
+            d_im = d_im + phr * s_i + phm * t_r
+        return d_re, d_im
 
     def vpu_store(r, dsub):
         base = r * crow_stride
         rows = slice(r * K, (r + 1) * K)
+        if direct:
+            # store the per-plane conv-folded dots straight to the output
+            # block, then apply the carry read-modify-write — no 2W-wide
+            # dots temp in the chain
+            dre, dim_ = dsub
+            dft_re_ref[rows, :] = dre[:, :m].astype(dft_re_ref.dtype)
+            dft_im_ref[rows, :] = dim_[:, :m].astype(dft_im_ref.dtype)
+            d_re, d_im = carry_rows(base)
+            car_re = (mre * d_re - mim * d_im)[:, :m]
+            car_im = (mre * d_im + mim * d_re)[:, :m]
+            dft_re_ref[rows, :] = (
+                dft_re_ref[rows, :].astype(jnp.float32)
+                + car_re).astype(dft_re_ref.dtype)
+            dft_im_ref[rows, :] = (
+                dft_im_ref[rows, :].astype(jnp.float32)
+                + car_im).astype(dft_im_ref.dtype)
+            return
         if fold_conv:
-            d_re = crows_ref[base + 0:base + 1, :]
-            d_im = crows_ref[base + 1:base + 2, :]
-            for h in range(1, halo + 1):
-                o = base + 2 + 4 * (h - 1)
-                s_r = crows_ref[o + 0:o + 1, :]
-                s_i = crows_ref[o + 1:o + 2, :]
-                t_r = crows_ref[o + 2:o + 3, :]
-                t_i = crows_ref[o + 3:o + 4, :]
-                phr = phi_ref[:, 2 * (h - 1):2 * (h - 1) + 1]      # (K, 1)
-                phm = phi_ref[:, 2 * (h - 1) + 1:2 * (h - 1) + 2]
-                d_re = d_re + phr * s_r - phm * t_i
-                d_im = d_im + phr * s_i + phm * t_r
+            d_re, d_im = carry_rows(base)
             out_re = dsub[:, :W].astype(jnp.float32) + (mre * d_re
                                                         - mim * d_im)
             out_im = dsub[:, W:].astype(jnp.float32) + (mre * d_im
@@ -1110,12 +1227,13 @@ def _conv_pick_tiles(m: int, out_bytes: int) -> tuple[int, int] | None:
     return None
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9, 10, 11))
 def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
                          interpret: bool = False, tile_k: int = CONV_TILE_K,
                          super_r: int = CONV_SUPER_R, layout: str = "packed",
                          out_dtype: str | None = None,
-                         fold_conv: bool = True, lean: bool = False):
+                         fold_conv: bool = True, lean: bool = False,
+                         direct: bool = False):
     """Forward spectra via the conv-folded hoisted-Toeplitz kernel.
 
     Same hoisting strategy as _launch_spectra_toeplitz (all sequential
@@ -1139,7 +1257,13 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
     K = tile_k
     R = super_r
     halo = WINDOW_HALO[plan.window]
-    (fine_re, fine_im, dmf_re, dmf_im, b_conv, phi, *coarse) = tables
+    MP = _round_up(m, 128)
+    if direct:
+        (fine_re, fine_im, dmf_re, dmf_im, b_c1, b_c2, phi,
+         *coarse) = tables
+    else:
+        (fine_re, fine_im, dmf_re, dmf_im, b_c1, phi, *coarse) = tables
+        b_c2 = None
 
     (delta, dt, nt, new_delayline, c0_re, c0_im, acc_out, fix
      ) = _spectra_prologue(plan, state, samples, K, fine_re, fine_im, coarse)
@@ -1153,7 +1277,7 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
 
     wgt = plan.analysis_weight
     taps = [np.float32(c * wgt) for c in WINDOW_TAPS[plan.window]]
-    if fold_conv:
+    if fold_conv or direct:   # convolved-domain carry rows (E0, S_h, T_h)
         rows = [taps[0] * c0_re, taps[0] * c0_im]
         for h in range(1, halo + 1):
             cp_re = jnp.pad(c0_re[:, h:], ((0, 0), (0, h)))     # C0[i+h]
@@ -1168,7 +1292,11 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
     req = 8 // _math.gcd(R, 8)
     stride = -(-nrows // req) * req
     rows += [jnp.zeros_like(c0_re)] * (stride - nrows)
-    crows = jnp.stack(rows, axis=1).reshape(nt * stride, W)
+    if direct:
+        # the direct kernel works on the m-window (no pad columns)
+        rows = [rr[:, PAD:PAD + MP] for rr in rows]
+    CW = MP if direct else W
+    crows = jnp.stack(rows, axis=1).reshape(nt * stride, CW)
 
     # pad the per-tile streams to whole super-steps (zero tiles are inert:
     # their junk output rows fall beyond M and the partial final out block)
@@ -1198,12 +1326,21 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
     else:
         table_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # HBM; the kernel
         ddt = jnp.bfloat16 if lean else jnp.float32
-        scratch = [                                        # DMAs at t==0
-            pltpu.VMEM((K, W), ddt),                   # dmf re
-            pltpu.VMEM((K, W), ddt),                   # dmf im
-            pltpu.VMEM((3 * K, 2 * W), jnp.bfloat16),  # stacked conv B
-            pltpu.SemaphoreType.DMA((3,)),
-        ]
+        if direct:
+            scratch = [                                # DMAs at t==0
+                pltpu.VMEM((K, MP), ddt),              # dmf re (m-window)
+                pltpu.VMEM((K, MP), ddt),              # dmf im
+                pltpu.VMEM((3 * K, MP), jnp.bfloat16),  # conv B re
+                pltpu.VMEM((3 * K, MP), jnp.bfloat16),  # conv B im
+                pltpu.SemaphoreType.DMA((4,)),
+            ]
+        else:
+            scratch = [                                # DMAs at t==0
+                pltpu.VMEM((K, W), ddt),               # dmf re
+                pltpu.VMEM((K, W), ddt),               # dmf im
+                pltpu.VMEM((3 * K, 2 * W), jnp.bfloat16),  # stacked conv B
+                pltpu.SemaphoreType.DMA((3,)),
+            ]
         if manual_out:
             scratch += [
                 pltpu.VMEM((2 * R * K, m), odt),       # out stage re (x2)
@@ -1220,12 +1357,14 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
                                super_r=R, nfixed=halo, crow_stride=stride,
                                fold_conv=fold_conv, manual_out=manual_out,
                                n_out=M, n_steps=nts, lean=lean,
-                               dma_tables=not interpret)
+                               direct=direct, dma_tables=not interpret)
+    table_inputs = ((dmf_re, dmf_im, b_c1, b_c2) if direct
+                    else (dmf_re, dmf_im, b_c1))
     dft_re, dft_im = pl.pallas_call(
         kernel,
         grid=(nts,),
         in_specs=[
-            pl.BlockSpec((R * stride, W), lambda t: (t, 0),
+            pl.BlockSpec((R * stride, CW), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),        # carry rows
             pl.BlockSpec((R * K, nfix), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),        # fix cols
@@ -1235,9 +1374,7 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
                          memory_space=pltpu.VMEM),        # toep lo
             pl.BlockSpec((K, 128), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),        # phi columns
-            table_spec, table_spec,                       # dmf f32
-            table_spec,                                   # stacked conv B
-        ],
+        ] + [table_spec] * len(table_inputs),
         out_shape=(jax.ShapeDtypeStruct((M, m), odt),) * 2,
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -1246,7 +1383,7 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
             dimension_semantics=None if interpret else DIM_SEMANTICS,
             has_side_effects=True),
         interpret=interpret,
-    )(crows, fix, toep_hi, toep_lo, phi, dmf_re, dmf_im, b_conv)
+    )(crows, fix, toep_hi, toep_lo, phi, *table_inputs)
 
     new_state = State(
         offset=jnp.mod(state.offset + M, n2).astype(state.offset.dtype),
@@ -1384,7 +1521,7 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
 def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
                          cumsum_mode="toepconv", tile_k=None,
                          layout="packed", out_dtype=None, super_r=None,
-                         fold_conv=False):
+                         fold_conv=False, direct=False):
     """Fused forward analysis.
 
     Returns (state, dfts) with dfts packed (M, m, 2), or — with
@@ -1426,11 +1563,15 @@ def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
             # (docs/PERF.md round-4) — plumbing kept for re-measurement,
             # default off
             lean = False
-            tables = (_spectra_tables_conv(plan, K, fold_conv, lean)
-                      + _coarse_rows_host(plan, K))
+            if direct:
+                tables = (_spectra_tables_direct(plan, K, lean)
+                          + _coarse_rows_host(plan, K))
+            else:
+                tables = (_spectra_tables_conv(plan, K, fold_conv, lean)
+                          + _coarse_rows_host(plan, K))
             return _launch_spectra_conv(plan, state, samples, tables,
                                         interpret, K, R, layout, out_dtype,
-                                        fold_conv, lean)
+                                        fold_conv, lean, direct)
     if cumsum_mode == "toephoist":
         if tile_k is None:
             tile_k = SPECTRA_TILE_K  # measured optimum for this kernel

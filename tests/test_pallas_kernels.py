@@ -271,3 +271,22 @@ def test_toepconv_roi_matches_xla(fold, roi):
     first, last = roi
     assert np.all(got[:, :first] == 0)
     assert np.all(got[:, last:] == 0)
+
+
+@pytest.mark.parametrize("roi", [None, (10, 100)])
+@pytest.mark.parametrize("window", ["hann", "blackman", "boxcar"])
+def test_toepconv_direct_matches_xla(window, roi):
+    """The direct-store variant (per-plane m-window conv-folded dots +
+    read-modify-write carry) matches the XLA path, with and without ROI."""
+    from sdft_tpu.ops.analysis import sdft_block
+
+    plan = Plan(256, window=window, precision=F32, roi=roi)
+    x = _signal(500, seed=23)
+    st0 = init_state(plan)
+    st_x, d_x = sdft_block(plan, st0, x)
+    st_k, d_k = forward_block_pallas(plan, st0, x, interpret=True,
+                                     cumsum_mode="toepconv", tile_k=64,
+                                     super_r=2, direct=True)
+    np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_x), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(st_k.accumulator),
+                               np.asarray(st_x.accumulator), atol=5e-4)
