@@ -730,7 +730,8 @@ def roundtrip_hopped_block(plan: Plan, state: State, samples: jnp.ndarray,
 
 def roundtrip_hopped_chain(plan: Plan, state: State, xs: jnp.ndarray,
                            hop: int, k_tile: int | None = None,
-                           refresh_every: int | None = 1):
+                           refresh_every: int | None = 1,
+                           segment: bool = False):
     """Chain many hop-blocks inside ONE compiled program — the fast form of
     the reference driver protocol (test/test.c:69-83: stream hop-chunked
     samples through carried plan state, keep each hop's first DFT vector and
@@ -767,21 +768,24 @@ def roundtrip_hopped_chain(plan: Plan, state: State, xs: jnp.ndarray,
     split4 = (plan.precision.resolve().mxu == "split4"
               and plan.precision.resolve().fd == "float32")
     if hop >= 8:
-        # whole-segment batched program (no scan): every block's starting
-        # accumulator comes from the batched windowed refresh, so the
-        # sequential spine disappears (see _driver_segment_nd).  All
-        # refresh cadences produce this exactly-refreshed result (equal to
-        # any cadence up to rounding, strictly more accurate).
+        # scan of fused single-pass blocks — measured FASTER than the
+        # scan-free batched segment (_driver_segment_nd) at the canonical
+        # sizes (243M vs 153M samples/s at m=1000 hop=100: the segment's
+        # O(nb*nt*m) batched temps cost more HBM traffic than the scan's
+        # op overhead; docs/PERF.md round-4 notes).  segment=True on
+        # roundtrip_hopped selects the batched form.
         consts = ((_lti_consts_split_device(plan, hop),
                    _lti_consts_device(plan, hop, fd)) if split4
                   else _lti_consts_device(plan, hop, fd))
-        if xs.ndim == 2:
-            st = jax.tree.map(lambda a: a[None], state)
-            st, hd, ys = _driver_segment_jit(plan, st, xs[:, None], consts,
-                                             hop)
-            return (jax.tree.map(lambda a: a[0], st), hd[0], ys[0])
-        st, hd, ys = _driver_segment_jit(plan, state, xs, consts, hop)
-        return (st, jnp.moveaxis(hd, 0, 1), jnp.moveaxis(ys, 0, 1))
+        if segment:
+            if xs.ndim == 2:
+                st = jax.tree.map(lambda a: a[None], state)
+                st, hd, ys = _driver_segment_jit(plan, st, xs[:, None],
+                                                 consts, hop)
+                return (jax.tree.map(lambda a: a[0], st), hd[0], ys[0])
+            st, hd, ys = _driver_segment_jit(plan, state, xs, consts, hop)
+            return (st, jnp.moveaxis(hd, 0, 1), jnp.moveaxis(ys, 0, 1))
+        return _chain_fused_jit(plan, state, xs, consts, hop, refresh_every)
     # degenerate hops (tiles of < 8 samples would starve the GEMMs): legacy
     # two-pass body with independent round-trip tiling
     K = k_tile or default_k_tile(xs.shape[-1])
@@ -792,6 +796,48 @@ def roundtrip_hopped_chain(plan: Plan, state: State, xs: jnp.ndarray,
     hop_consts = _hop_consts_device(plan, hop, fd)
     return _chain_jit(plan, state, xs, lti_consts, hop_consts, hop, K,
                       refresh_every)
+
+
+def _chain_refresh(plan: Plan, refresh_every, body_out_state, since):
+    """Shared refresh-cadence logic for the chain bodies; returns
+    (state, since).  refresh_every in (None, 1) is handled statically by
+    the callers."""
+    fd = plan.precision.fd_dtype
+
+    def _refresh(st: State) -> State:
+        if st.offset.ndim == 0:
+            st = jax.tree.map(lambda a: a[None], st)
+            return jax.tree.map(lambda a: a[0], _refresh_fused(plan, st, fd))
+        return _refresh_fused(plan, st, fd)
+
+    since = since + 1
+    st = jax.lax.cond(since >= refresh_every, _refresh, lambda s: s,
+                      body_out_state)
+    since = jnp.where(since >= refresh_every, 0, since)
+    return st, since
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _chain_fused_jit(plan: Plan, state: State, xs, consts, hop: int,
+                     refresh_every: int | None):
+    def body(carry, x):
+        st, since = carry
+        refresh = refresh_every == 1
+        if x.ndim == 1:
+            stb = jax.tree.map(lambda a: a[None], st)
+            stb, hd, y = _fused_driver_nd(plan, stb, x[None], consts, hop,
+                                          refresh)
+            st, hd, y = jax.tree.map(lambda a: a[0], stb), hd[0], y[0]
+        else:
+            st, hd, y = _fused_driver_nd(plan, st, x, consts, hop, refresh)
+        if refresh_every in (None, 1):
+            return (st, since), (hd, y)
+        st, since = _chain_refresh(plan, refresh_every, st, since)
+        return (st, since), (hd, y)
+
+    (state, _), (hdfts, ys) = jax.lax.scan(
+        body, (state, jnp.zeros((), jnp.int32)), xs)
+    return state, hdfts, ys
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))

@@ -305,3 +305,35 @@ def test_split4_chained_driver_protocol():
     sh, hdh, yh = roundtrip_hopped(planH, init_state(planH), x, 32)
     np.testing.assert_array_equal(np.asarray(hd4), np.asarray(hdh))
     np.testing.assert_allclose(np.asarray(y4), np.asarray(yh), atol=1e-3)
+
+
+def test_driver_segment_matches_scan_chain():
+    """The scan-free batched segment (ops.lti._driver_segment_nd,
+    roundtrip_hopped_chain(segment=True)) equals the scanned fused chain —
+    hop spectra, synthesized samples and carried state — for single and
+    batched channels."""
+    from sdft_tpu.ops.lti import roundtrip_hopped_chain
+
+    plan = Plan(96, window="hann", precision=F64)
+    hop, B, nb = 16, 128, 5
+    x = _signal(nb * B, seed=13)
+
+    st_a, hd_a, ys_a = roundtrip_hopped_chain(
+        plan, init_state(plan), x.reshape(nb, B), hop)
+    st_b, hd_b, ys_b = roundtrip_hopped_chain(
+        plan, init_state(plan), x.reshape(nb, B), hop, segment=True)
+    np.testing.assert_allclose(np.asarray(hd_b), np.asarray(hd_a), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ys_b), np.asarray(ys_a), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_b.accumulator),
+                               np.asarray(st_a.accumulator), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(st_b.delayline),
+                                  np.asarray(st_a.delayline))
+
+    C = 2
+    xs_c = _signal(nb * C * B, seed=14).reshape(nb, C, B)
+    st_a, hd_a, ys_a = roundtrip_hopped_chain(
+        plan, init_state(plan, channels=C), xs_c, hop)
+    st_b, hd_b, ys_b = roundtrip_hopped_chain(
+        plan, init_state(plan, channels=C), xs_c, hop, segment=True)
+    np.testing.assert_allclose(np.asarray(hd_b), np.asarray(hd_a), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ys_b), np.asarray(ys_a), atol=1e-12)
