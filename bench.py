@@ -106,7 +106,7 @@ def bench_tpu():
     xs = randn((K_HI_FLAG, BLOCK))
     state = init_state(plan)
     many_rt = chain(lambda st, x: roundtrip_block_lti(plan, st, x, K_TILE_1CH))
-    per_block, sig, t_lo, t_hi = marginal(many_rt, state, xs, K_HI_FLAG)
+    per_block, sig, t_lo, t_hi = marginal(many_rt, state, xs, K_HI_FLAG, n=6)
     rate = BLOCK / per_block
     log(f"tpu roundtrip (LTI, k_tile={K_TILE_1CH}): {per_block * 1e3:.3f} "
         f"ms/block marginal (chain {K_LO}: {t_lo * 1e3:.1f} ms, chain "
@@ -124,7 +124,7 @@ def bench_tpu():
     many_s4 = chain(lambda st, x: roundtrip_block_lti(plan_s4, st, x,
                                                       K_TILE_1CH))
     per_s4, sig_s4, _, _ = marginal(many_s4, init_state(plan_s4), xs,
-                                    K_HI_FLAG)
+                                    K_HI_FLAG, n=6)
     rate_s4 = BLOCK / per_s4
     log(f"tpu roundtrip (split4, k_tile={K_TILE_1CH}): {per_s4 * 1e3:.3f} "
         f"ms/block (signal {sig_s4:.0%}) -> {rate_s4:,.0f} samples/s")
@@ -201,8 +201,9 @@ def bench_tpu():
     DRV_M, DRV_HOP, DRV_BLOCK = 1000, 100, 4000
     plan_drv = Plan(DRV_M, window="hann", precision=FAST_PRECISION)
 
-    # the whole chained segment is ONE batched program (no scan) —
-    # ops.lti._driver_segment_nd; marginal over the number of chained blocks
+    # the chained driver protocol (scan of fused single-pass blocks —
+    # ops.lti._chain_fused_jit, the measured-fastest form); marginal over
+    # the number of chained blocks
     @functools.partial(jax.jit, static_argnums=2)
     def drv_many(state, xs, k):
         st, hd, ys = roundtrip_hopped(plan_drv, state, xs[:k], DRV_HOP)

@@ -54,7 +54,7 @@ from ..plan import Plan
 from ..state import State
 from ..windows import WINDOW_HALO, WINDOW_TAPS
 from ..ops.lti import _bf16_split_host, _split_mask
-from ..ops.twiddle import synthesis_twiddles
+from ..ops.twiddle import mulmod, synthesis_twiddles
 
 PAD = 64          # bin-axis padding each side (total W = m + 128, lane aligned)
 TILE_K = 128      # samples per grid step (lane-aligned slices)
@@ -71,10 +71,12 @@ SPECTRA_TILE_K = 96
 #: per-step overheads without adding MXU work.
 CONV_TILE_K = 64
 CONV_SUPER_R = 4
-#: Grid dimension semantics for the stateless spectra kernels.  Their grid
-#: steps are independent ("parallel" lets Mosaic overlap across steps);
-#: module-level so experiments can A/B it (clear the launcher jit caches
-#: after changing).
+#: Grid dimension semantics for the spectra kernels.  Measured: "parallel"
+#: makes NO difference on v5e (docs/PERF.md round-4) and is UNSAFE in
+#: principle — the kernels DMA their tables into persistent VMEM scratch at
+#: t == 0, a loop-carried dependency that out-of-order execution would
+#: break.  Keep "arbitrary"; module-level only so experiments can A/B it
+#: (clear the launcher jit caches after changing, single-core chips only).
 DIM_SEMANTICS = ("arbitrary",)
 
 
@@ -215,7 +217,10 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
 
     # row0 = T^(e0 * i), e0 = offset + t*K (mod 2m)
     e0 = jnp.mod(off_ref[0, 0] + t * K, n2)
-    r0 = jnp.mod(e0 * ib, n2)
+    # mulmod keeps the product exact on the PADDED bin axis (ib up to
+    # round_up(m,128)+PAD-1 exceeds m-1, so a direct product can overflow
+    # int32 near and above m=32768)
+    r0 = mulmod(e0, ib, n2)
     ang0 = omega * r0.astype(jnp.float32)
     r0_re = jnp.cos(ang0)
     r0_im = jnp.sin(ang0)
@@ -427,6 +432,63 @@ def _spectra_tables(plan: Plan, K: int):
                      (fine_re, fine_im, dre, dim, b_all))
 
 
+def _acc_mask_host(plan: Plan, bins):
+    """ROI accumulate-mask evaluated at (possibly out-of-range) signed bin
+    indices: pads below DC and above Nyquist mirror their interior bin
+    (the Hermitian guard of a zeroed bin is zero)."""
+    m = plan.dftsize
+    if plan.roi is None:
+        return np.ones(np.shape(bins))
+    first, last = plan.roi
+    bm = np.where(bins < 0, -bins,
+                  np.where(bins >= m, 2 * m - 2 - bins, bins))
+    return ((bm >= first) & (bm < last)).astype(np.float64)
+
+
+def _conv_folded_planes_host(plan: Plan, K: int, cols, out_mask, fold: bool):
+    """Shared builder for the spectra kernels\' demod planes over arbitrary
+    signed bin columns (exact integer phases): returns (dre, dim) — the raw
+    masked carry-demod planes — and (dmfc_re, dmfc_im) — the (optionally)
+    window-conv-folded, out-masked contraction planes."""
+    m = plan.dftsize
+    n2 = 2 * m
+    halo = WINDOW_HALO[plan.window]
+    taps = [float(c) * plan.analysis_weight for c in WINDOW_TAPS[plan.window]]
+    k = np.arange(K)
+    n = len(cols)
+    dre = np.zeros((K, n))
+    dim = np.zeros((K, n))
+    dmfc_re = np.zeros((K, n))
+    dmfc_im = np.zeros((K, n))
+    for g in (range(-halo, halo + 1) if fold else (0,)):
+        b = cols + g
+        ad = (np.pi / m) * (((k[:, None] + 1) * b[None, :]) % n2)
+        cg = taps[abs(g)] if fold else 1.0
+        mg = _acc_mask_host(plan, b)     # accumulate mask at the READ bin
+        dmfc_re += cg * mg * np.cos(ad)
+        dmfc_im += cg * mg * np.sin(ad)
+        if g == 0:
+            dre = np.cos(ad) * mg
+            dim = np.sin(ad) * mg
+    dmfc_re *= out_mask
+    dmfc_im *= out_mask
+    return dre, dim, dmfc_re, dmfc_im
+
+
+def _phi_host(plan: Plan, K: int):
+    """Carry conv-shift phasor columns phi_h[k] = exp(j*pi*(k+1)*h/m)."""
+    m = plan.dftsize
+    n2 = 2 * m
+    k = np.arange(K)
+    phi = np.zeros((K, 128), np.float32)
+    for h in range(1, WINDOW_HALO[plan.window] + 1):
+        aph = (np.pi / m) * (((k + 1) * h) % n2)
+        phi[:, 2 * (h - 1)] = np.cos(aph)
+        phi[:, 2 * (h - 1) + 1] = np.sin(aph)
+    return phi
+
+
+
 @functools.lru_cache(maxsize=None)
 def _spectra_tables_conv(plan: Plan, K: int, fold: bool = True,
                          lean: bool = False):
@@ -442,7 +504,7 @@ def _spectra_tables_conv(plan: Plan, K: int, fold: bool = True,
     stencil.  Returns (fine_re, fine_im, dmf_re, dmf_im, b_conv, phi):
 
       * fine planes: launcher-side totals GEMM + top-edge fix machinery,
-      * raw dmf f32 planes: the carry demodulation in the kernel,
+      * raw dmf planes: the carry demodulation in the kernel,
       * b_conv: bf16 hi/lo split of dmfc stacked (3K, 2W) for the single
         deep contraction [thi | thi | tlo] @ [hi; lo; hi],
       * phi (K, 128) f32: the carry's conv shift phasors
@@ -451,70 +513,30 @@ def _spectra_tables_conv(plan: Plan, K: int, fold: bool = True,
         Re/Im(dmf * D) with D built from rank-1 (K,1)x(1,W) VPU terms
         (NOT skinny MXU dots: Mosaic pads those to full 128-deep matmuls,
         the measured sink of the round-3 "rank-h carry" attempt).
+
+    ROI folds entirely into the tables (masked fine/dmf/dmfc columns with
+    DC-mirrored pads — see _acc_mask_host / _conv_folded_planes_host).
     """
     m = plan.dftsize
     n2 = 2 * m
     W = _round_up(m, 128) + 2 * PAD
-    halo = WINDOW_HALO[plan.window]
-    taps = [float(c) * plan.analysis_weight for c in WINDOW_TAPS[plan.window]]
     i = np.arange(W) - PAD
     k = np.arange(K)
 
-    # ROI folds entirely into the tables: masked fine columns keep the
-    # accumulator/carry zero outside the band (c/src/sdft/sdft.h:570),
-    # masked dmf kills the carry demod there, and masked dmfc columns
-    # apply both the accumulate mask (shifted, per conv tap) and the
-    # output mask (conv spill past the ROI edge reads as zero —
-    # ops.analysis semantics).  The left pad mirrors the mask around DC
-    # (the Hermitian guard of a zeroed bin is zero); top pads only feed
-    # fix-overwritten output columns.
-    if plan.roi is not None:
-        first, last = plan.roi
-        bm = np.where(i < 0, -i, np.where(i >= m, 2 * m - 2 - i, i))
-        mask = ((bm >= first) & (bm < last)).astype(np.float64)
-    else:
-        mask = np.ones(W)
-
+    mask = _acc_mask_host(plan, i)
     rf = (k[:, None] * i[None, :]) % n2
     af = (-np.pi / m) * rf
     fine_re = (np.cos(af) * mask).astype(np.float32)
     fine_im = (np.sin(af) * mask).astype(np.float32)
 
-    dre = np.zeros((K, W))
-    dim = np.zeros((K, W))
-    dmfc_re = np.zeros((K, W))
-    dmfc_im = np.zeros((K, W))
-    for g in (range(-halo, halo + 1) if fold else (0,)):
-        rd = ((k[:, None] + 1) * (i[None, :] + g)) % n2
-        ad = (np.pi / m) * rd
-        # accumulate mask at the shifted (read) column mg[i] = mask[i+g],
-        # output mask at the destination column (applied after the loop);
-        # the unfolded table is just the masked dmf
-        mg = np.zeros(W)
-        if g >= 0:
-            mg[:W - g] = mask[g:]
-        else:
-            mg[-g:] = mask[:W + g]
-        cg = taps[abs(g)] if fold else 1.0
-        dmfc_re += cg * mg * np.cos(ad)
-        dmfc_im += cg * mg * np.sin(ad)
-        if g == 0:
-            dre = np.cos(ad) * mask
-            dim = np.sin(ad) * mask
-    dmfc_re *= mask
-    dmfc_im *= mask
+    dre, dim, dmfc_re, dmfc_im = _conv_folded_planes_host(
+        plan, K, i, mask, fold)
 
     b_hi_re, b_lo_re = _bf16_split_host(dmfc_re.astype(np.float32))
     b_hi_im, b_lo_im = _bf16_split_host(dmfc_im.astype(np.float32))
     b_re = np.concatenate([b_hi_re, b_lo_re, b_hi_re], axis=0)
     b_im = np.concatenate([b_hi_im, b_lo_im, b_hi_im], axis=0)
     b_conv = np.concatenate([b_re, b_im], axis=1)       # (3K, 2W)
-
-    phi = np.zeros((K, 128), np.float32)
-    for h in range(1, halo + 1):
-        aph = (np.pi / m) * (((k + 1) * h) % n2)
-        phi[:, 2 * (h - 1)] = np.cos(aph)
-        phi[:, 2 * (h - 1) + 1] = np.sin(aph)
 
     # "lean" (bf16-output fast mode): the carry-demod planes round to
     # bf16 — their 2^-8 relative error sits at the bf16 OUTPUT rounding
@@ -525,7 +547,8 @@ def _spectra_tables_conv(plan: Plan, K: int, fold: bool = True,
                      ((fine_re, jnp.float32), (fine_im, jnp.float32),
                       (dre.astype(np.float32), ddt),
                       (dim.astype(np.float32), ddt),
-                      (b_conv, jnp.bfloat16), (phi, jnp.float32)))
+                      (b_conv, jnp.bfloat16),
+                      (_phi_host(plan, K), jnp.float32)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -535,70 +558,35 @@ def _spectra_tables_direct(plan: Plan, K: int, lean: bool = False):
     columns), so each plane's (K, 3K) @ (3K, mp) dot is stored straight to
     the output block and the carry is applied read-modify-write — no
     2W-wide dots temp.  Returns (fine_re, fine_im [W-wide, prologue],
-    dmfm_re, dmfm_im (K, mp), b_dre, b_dim (3K, mp), phi)."""
+    dmfm_re, dmfm_im (K, mp), b_dre, b_dim (3K, mp), phi).  Shares the
+    mask/fold machinery with _spectra_tables_conv via
+    _conv_folded_planes_host."""
     m = plan.dftsize
     n2 = 2 * m
     W = _round_up(m, 128) + 2 * PAD
     mp = _round_up(m, 128)
-    halo = WINDOW_HALO[plan.window]
-    taps = [float(c) * plan.analysis_weight for c in WINDOW_TAPS[plan.window]]
     i = np.arange(W) - PAD
     i2 = np.arange(mp)
     k = np.arange(K)
 
-    if plan.roi is not None:
-        first, last = plan.roi
-        bmW = np.where(i < 0, -i, np.where(i >= m, 2 * m - 2 - i, i))
-        maskW = ((bmW >= first) & (bmW < last)).astype(np.float64)
-        mask2 = (((i2 >= first) & (i2 < last)) & (i2 < m)).astype(np.float64)
-    else:
-        maskW = np.ones(W)
-        mask2 = (i2 < m).astype(np.float64)
-
+    maskW = _acc_mask_host(plan, i)
     rf = (k[:, None] * i[None, :]) % n2
     af = (-np.pi / m) * rf
     fine_re = (np.cos(af) * maskW).astype(np.float32)
     fine_im = (np.sin(af) * maskW).astype(np.float32)
 
-    dmfc_re = np.zeros((K, mp))
-    dmfc_im = np.zeros((K, mp))
-    dre = np.zeros((K, mp))
-    dim = np.zeros((K, mp))
-    for g in range(-halo, halo + 1):
-        rd = ((k[:, None] + 1) * (i2[None, :] + g)) % n2
-        ad = (np.pi / m) * rd
-        mg = np.zeros(mp)
-        if g >= 0:
-            mg[:mp - g] = mask2[g:]
-        else:
-            mg[-g:] = mask2[:mp + g]
-        # the g<0 read at bin -1 is the Hermitian DC mirror of bin +1 for
-        # real input: mask it like its mirror
-        if g < 0 and plan.roi is None:
-            mg[:-g] = 1.0
-        elif g < 0 and plan.roi is not None:
-            first, last = plan.roi
-            for jj in range(-g):
-                bb = -(i2[jj] + g)
-                mg[jj] = 1.0 if first <= bb < last else 0.0
-        dmfc_re += taps[abs(g)] * mg * np.cos(ad)
-        dmfc_im += taps[abs(g)] * mg * np.sin(ad)
-        if g == 0:
-            dre = np.cos(ad) * mask2
-            dim = np.sin(ad) * mask2
-    dmfc_re *= mask2
-    dmfc_im *= mask2
+    # out-mask on the m-window: ROI plus the mp-padding columns (junk,
+    # never stored); top-halo columns are fix-overwritten either way
+    out_mask = _acc_mask_host(plan, i2) * (i2 < m)
+    dre, dim, dmfc_re, dmfc_im = _conv_folded_planes_host(
+        plan, K, i2, out_mask, fold=True)
+    dre = dre * out_mask
+    dim = dim * out_mask
 
     hr, lr = _bf16_split_host(dmfc_re.astype(np.float32))
     hi_, li = _bf16_split_host(dmfc_im.astype(np.float32))
     b_dre = np.concatenate([hr, lr, hr], axis=0)       # (3K, mp)
     b_dim = np.concatenate([hi_, li, hi_], axis=0)
-
-    phi = np.zeros((K, 128), np.float32)
-    for h in range(1, halo + 1):
-        aph = (np.pi / m) * (((k + 1) * h) % n2)
-        phi[:, 2 * (h - 1)] = np.cos(aph)
-        phi[:, 2 * (h - 1) + 1] = np.sin(aph)
 
     ddt = jnp.bfloat16 if lean else jnp.float32
     with jax.ensure_compile_time_eval():
@@ -607,7 +595,7 @@ def _spectra_tables_direct(plan: Plan, K: int, lean: bool = False):
                       (dre.astype(np.float32), ddt),
                       (dim.astype(np.float32), ddt),
                       (b_dre, jnp.bfloat16), (b_dim, jnp.bfloat16),
-                      (phi, jnp.float32)))
+                      (_phi_host(plan, K), jnp.float32)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -643,7 +631,7 @@ def _phase_rows_W(plan: Plan, offset, nt: int, K: int, coarse):
     c_re, c_im = coarse
     q = c_re.shape[0]
     i = jnp.arange(W, dtype=jnp.int32) - PAD
-    r0 = jnp.mod(jnp.mod(offset.astype(jnp.int32), n2) * i, n2)
+    r0 = mulmod(jnp.mod(offset.astype(jnp.int32), n2), i, n2)
     ang = (-np.pi / m) * r0.astype(jnp.float32)
     o_re, o_im = jnp.cos(ang), jnp.sin(ang)
     row_re = o_re[None, :] * c_re - o_im[None, :] * c_im
@@ -1553,7 +1541,13 @@ def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
         odt_bytes = 2 if out_dtype == "bfloat16" else 4
         pick = _conv_pick_tiles(plan.dftsize, odt_bytes)
         if pick is None:
-            cumsum_mode = "toephoist"  # no VMEM-feasible conv config
+            # No VMEM-feasible configuration: refuse loudly rather than
+            # silently falling back to toephoist (which has no ROI support
+            # and its own VMEM hazard at these sizes).  plan_supported
+            # reports this case False, so api.sdft routes to XLA instead.
+            raise ValueError(
+                f"dftsize {plan.dftsize} has no VMEM-feasible spectra-"
+                "kernel tiling; use the XLA path (plan_supported is False)")
         else:
             auto_k, auto_r = pick
             K = tile_k if tile_k is not None else auto_k

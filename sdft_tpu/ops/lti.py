@@ -773,7 +773,8 @@ def roundtrip_hopped_chain(plan: Plan, state: State, xs: jnp.ndarray,
         # sizes (243M vs 153M samples/s at m=1000 hop=100: the segment's
         # O(nb*nt*m) batched temps cost more HBM traffic than the scan's
         # op overhead; docs/PERF.md round-4 notes).  segment=True on
-        # roundtrip_hopped selects the batched form.
+        # roundtrip_hopped_chain selects the batched form.  k_tile is
+        # unused here (tiles are the hop itself).
         consts = ((_lti_consts_split_device(plan, hop),
                    _lti_consts_device(plan, hop, fd)) if split4
                   else _lti_consts_device(plan, hop, fd))

@@ -73,6 +73,8 @@ class NativeSDFT:
         self.size = int(dftsize)
         self.window = Window.parse(window)
         self.latency = float(latency)
+        if fd_bits not in (64, 80):
+            raise ValueError(f"fd_bits must be 64 or 80, got {fd_bits}")
         if fd_bits == 64:
             self._h = self._fns["create"](
                 self.size, _WINDOW_CODE[self.window], self.latency, td_bits)

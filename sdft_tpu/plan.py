@@ -28,15 +28,6 @@ import dataclasses
 from .config import Precision, DEFAULT_PRECISION
 from .windows import Window, WINDOW_HALO
 
-#: Largest dftsize whose exact-phase products stay int32 (the working
-#: check lives in ops.twiddle.exponent_dtype; ops.twiddle.mulmod splits
-#: oversized products two-level, so the f32 fast path covers any m up to
-#: this bound without x64).  Larger plans are still allowed — the
-#: reference allocates any size (c/src/sdft/sdft.h:413-450) — but promote
-#: exponent products to int64, which requires the x64/f64 parity mode.
-#: Kept in sync with ops.twiddle.MAX_INT32_DFTSIZE (no import: twiddle
-#: imports this module).
-MAX_DFTSIZE_I32 = 1 << 19
 
 
 @dataclasses.dataclass(frozen=True)

@@ -290,3 +290,42 @@ def test_toepconv_direct_matches_xla(window, roi):
     np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_x), atol=5e-6)
     np.testing.assert_allclose(np.asarray(st_k.accumulator),
                                np.asarray(st_x.accumulator), atol=5e-4)
+
+
+def test_pallas_large_m_phase_products_exact():
+    """Regression (round-4 review finding): the spectra launchers'
+    padded-axis phase products must use the two-level mulmod split — a
+    direct int32 product silently wraps for dftsizes in the newly admitted
+    (32768, ~52000] Pallas window once the stream offset grows.  m=33024
+    at offset 2m-1 maximizes the product; gate vs the XLA path (which uses
+    mulmod throughout)."""
+    from sdft_tpu import State
+    from sdft_tpu.ops.analysis import sdft_block
+
+    m = 33024                     # lane-aligned; (2m-1)*(W-PAD-1) > 2^31
+    plan = Plan(m, window="hann", precision=F32)
+    assert plan_supported(plan, 128)
+    x = _signal(512, seed=31)
+    st0 = init_state(plan)
+    # offset at the period edge maximizes the products.  The wrapped
+    # phases cancel WITHIN a block (row0 ... conj(row0)) — the corruption
+    # lands in the carried accumulator — so chain TWO blocks and gate the
+    # second block's spectra and the final carry.
+    st0 = State(offset=np.asarray(2 * m - 1, st0.offset.dtype),
+                delayline=st0.delayline, accumulator=st0.accumulator)
+
+    st_x, _ = sdft_block(plan, st0, x[:256])
+    st_x, d_x = sdft_block(plan, st_x, x[256:])
+    st_k, _ = forward_block_pallas(plan, st0, x[:256], interpret=True,
+                                   cumsum_mode="toepconv", tile_k=32,
+                                   super_r=1)
+    st_k, d_k = forward_block_pallas(plan, st_k, x[256:], interpret=True,
+                                     cumsum_mode="toepconv", tile_k=32,
+                                     super_r=1)
+    scale = np.abs(np.asarray(d_x)).max()
+    err = np.abs(np.asarray(d_k) - np.asarray(d_x)).max()
+    assert err < 2e-3 * scale, (err, scale)
+    acc_scale = max(1e-9, np.abs(np.asarray(st_x.accumulator)).max())
+    acc_err = np.abs(np.asarray(st_k.accumulator)
+                     - np.asarray(st_x.accumulator)).max()
+    assert acc_err < 2e-3 * acc_scale, (acc_err, acc_scale)
