@@ -7,6 +7,7 @@ from .sharded import (
     sharded_isdft,
     sharded_roundtrip,
     sharded_sdft,
+    sharded_sdft_pallas,
     sharded_sdft_hopped,
     state_sharding,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "make_mesh",
     "single_device_mesh",
     "sharded_sdft",
+    "sharded_sdft_pallas",
     "sharded_sdft_hopped",
     "sharded_isdft",
     "sharded_roundtrip",

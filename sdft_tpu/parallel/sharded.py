@@ -609,3 +609,112 @@ def sharded_roundtrip(plan: Plan, mesh: Mesh, state: State, samples,
                                     str(plan.precision.fd_dtype))[:4]
         return _sharded_roundtrip_lti_jit(plan, mesh, state, samples, consts)
     return _sharded_roundtrip_jit(plan, mesh, state, samples)
+
+
+def _forward_local_pallas(state: State, samples, *, plan: Plan,
+                          m_total: int, layout: str, spectra_dtype,
+                          interpret: bool):
+    """Per-device body for the time-sharded Pallas spectra program.
+
+    Each time shard derives its block-start accumulator from the 2m-sample
+    comb history it ALREADY receives for the delta stage (the refresh
+    identity, ops.analysis.refresh_state: the carry is a pure function of
+    the last 2m samples and the offset) — so the inter-block carry needs
+    NO prefix collective at all; the single ppermute of _comb_history is
+    the program's only cross-device traffic.  Each device then runs the
+    unmodified fused spectra kernel (kernels.forward_block_pallas) on its
+    local block, writing only its local (C, L, m) output slab — the
+    O(M*m) spectra write, the path's roofline, scales linearly with the
+    time axis.
+    """
+    from ..kernels import forward_block_pallas
+    from ..ops.lti import _refresh_fused
+
+    m = plan.dftsize
+    n2 = 2 * m
+    td = plan.precision.td_dtype
+    fd = plan.precision.fd_dtype
+    C, L = samples.shape
+    d = lax.axis_index("time")
+
+    samples = samples.astype(td)
+    hist, new_delayline = _comb_history(state.delayline, samples, n2)
+
+    off_d = jnp.mod(state.offset.astype(jnp.int32) + d * L, n2)
+    zero_acc = jnp.zeros_like(state.accumulator)
+    st0 = _refresh_fused(
+        plan, State(offset=off_d, delayline=hist.astype(td),
+                    accumulator=zero_acc), fd)
+
+    def one(st1, x):
+        return forward_block_pallas(plan, st1, x, interpret=interpret,
+                                    layout=layout, out_dtype=spectra_dtype)
+
+    _, dfts = jax.vmap(one)(st0, samples)
+
+    # global end state (identical on every device): the stream tail plus
+    # the end accumulator from the same refresh identity
+    off_end = jnp.mod(state.offset + m_total, n2).astype(state.offset.dtype)
+    st_end = _refresh_fused(
+        plan, State(offset=off_end.astype(jnp.int32),
+                    delayline=new_delayline.astype(td),
+                    accumulator=zero_acc), fd)
+    new_state = State(
+        offset=off_end,
+        delayline=new_delayline.astype(td),
+        accumulator=st_end.accumulator.astype(state.accumulator.dtype))
+    return new_state, dfts
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
+def _sharded_sdft_pallas_jit(plan: Plan, mesh: Mesh, state, samples,
+                             layout: str, spectra_dtype, interpret: bool):
+    m_total = samples.shape[-1]
+    body = functools.partial(_forward_local_pallas, plan=plan,
+                             m_total=m_total, layout=layout,
+                             spectra_dtype=spectra_dtype,
+                             interpret=interpret)
+    if layout == "planar":
+        dft_spec = (P("channel", "time", None),) * 2
+    else:
+        dft_spec = P("channel", "time", None, None)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(STATE_SPECS, SAMPLE_SPEC),
+        out_specs=(STATE_SPECS, dft_spec),
+        check_vma=False,
+    )(state, samples)
+
+
+def sharded_sdft_pallas(plan: Plan, mesh: Mesh, state: State, samples,
+                        layout: str = "packed",
+                        spectra_dtype: str | None = None,
+                        interpret: bool = False):
+    """Forward analysis emitting ALL spectra over the mesh with the fused
+    Pallas kernel per time shard (see _forward_local_pallas).
+
+    The scale path for the primary `sdft()` API: the per-sample spectra
+    write is the single-chip roofline (docs/PERF.md), and this program
+    splits it linearly across the `time` axis with one comb-history
+    ppermute as the only collective.  Requires a bins=1 mesh (bin-sharded
+    spectra take the XLA scan path, `sharded_sdft`) and a Pallas-feasible
+    plan (kernels.plan_supported).
+
+    Returns (state, dfts) — packed (C, M, m, 2), or the planar (re, im)
+    pair with ``layout="planar"`` (optionally bf16 via ``spectra_dtype``),
+    sharded (channel, time).
+    """
+    from ..kernels import plan_supported
+
+    samples = jnp.asarray(samples)
+    C, M = samples.shape
+    _check_layout(plan, mesh, C, M)
+    ax = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if ax["bins"] != 1:
+        raise ValueError("sharded_sdft_pallas shards time/channel only; "
+                         "use sharded_sdft for bin-sharded spectra")
+    if not plan_supported(plan, M):
+        raise ValueError(f"plan {plan} outside the Pallas fast path; "
+                         "use sharded_sdft")
+    return _sharded_sdft_pallas_jit(plan, mesh, state, samples, layout,
+                                    spectra_dtype, interpret)

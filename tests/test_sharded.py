@@ -326,3 +326,53 @@ def test_sharded_transform_matches_single_device(axes):
     st_1, y_12 = roundtrip(plan, st_1, x, transform=_single_lowpass)
     np.testing.assert_allclose(np.asarray(y_sh2), np.asarray(y_12),
                                atol=1e-12)
+
+
+@pytest.mark.parametrize("axes", [
+    dict(channel=1, time=8, bins=1),
+    dict(channel=2, time=4, bins=1),
+    dict(channel=1, time=2, bins=1),
+], ids=lambda a: "x".join(map(str, a.values())))
+def test_sharded_pallas_spectra_matches_unsharded(axes):
+    """Time-sharded Pallas spectra (each shard derives its carry from the
+    comb history via the refresh identity — one ppermute, no prefix
+    collective) vs the unsharded forward, incl. a local-block < 2m case
+    and streaming carry across two segments."""
+    import jax.numpy as jnp
+
+    from sdft_tpu import Precision, sdft
+    from sdft_tpu.parallel import make_mesh, sharded_sdft_pallas
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    F32 = Precision("float32", "float32")
+    plan = Plan(256, window="hann", precision=F32)
+    C, M = 2, 8 * 256          # time=8 -> local block 256 < 2m = 512
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal((C, 2 * M)) * 0.25).clip(-1, 1).astype(np.float32)
+    mesh = make_mesh(**axes)
+
+    st = init_state(plan, channels=C)
+    st_r = init_state(plan, channels=C)
+    for seg in (x[:, :M], x[:, M:]):
+        st, d = sharded_sdft_pallas(plan, mesh, st, seg, interpret=True)
+        st_r, d_r = sdft(plan, st_r, seg)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(d_r), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(st.accumulator),
+                                   np.asarray(st_r.accumulator), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(st.delayline),
+                                   np.asarray(st_r.delayline), atol=0)
+
+    # planar + bf16 output element type
+    st, (re16, im16) = sharded_sdft_pallas(
+        plan, mesh, init_state(plan, channels=C), x[:, :M],
+        layout="planar", spectra_dtype="bfloat16", interpret=True)
+    assert re16.dtype == jnp.bfloat16
+    _, d_r = sdft(plan, init_state(plan, channels=C), x[:, :M])
+    np.testing.assert_allclose(np.asarray(re16, np.float32),
+                               np.asarray(d_r)[..., 0], atol=3e-3)
+
+    # bin-sharded meshes are the XLA path's job
+    with pytest.raises(ValueError, match="bin-sharded"):
+        sharded_sdft_pallas(plan, make_mesh(channel=1, time=1, bins=8),
+                            init_state(plan, channels=C), x[:, :M])

@@ -371,3 +371,22 @@ def test_fused_driver_block_on_tpu(oracle, signal):
         ys.append(np.asarray(y))
     np.testing.assert_allclose(np.concatenate(hds), d_ref[::hop], atol=2e-7)
     np.testing.assert_allclose(np.concatenate(ys), y_ref, atol=1e-4)
+
+
+def test_sharded_pallas_spectra_on_tpu(oracle, signal):
+    """The time-sharded Pallas spectra program on the real chip (1x1x1
+    mesh: collectives degenerate, but the shard_map + in-shard pallas_call
+    composition and the refresh-derived carry run on hardware) vs the f64
+    oracle."""
+    from sdft_tpu.parallel import make_mesh, sharded_sdft_pallas
+
+    plan = Plan(M_BINS, window="hann", precision=FAST_PRECISION)
+    mesh = make_mesh(1, 1, 1)
+    x = signal[:BLOCK][None]
+
+    st, dfts = sharded_sdft_pallas(plan, mesh,
+                                   init_state(plan, channels=1), x)
+    got = to_complex(np.asarray(dfts[0]))
+    eng = oracle(M_BINS, "hann", td_bits=64)
+    want = eng.sdft(x[0].astype(np.float64))
+    np.testing.assert_allclose(got, want, atol=5e-7, rtol=1e-4)
