@@ -63,8 +63,8 @@ def _sdft_2d_pallas(plan: Plan, state: State, samples: jax.Array, layout: str,
     )(state, samples)
 
 
-def _use_pallas(plan: Plan, M: int) -> bool:
-    return pallas_supported() and plan_supported(plan, M)
+def _use_pallas(plan: Plan, M: int, out_dtype: str | None = None) -> bool:
+    return pallas_supported() and plan_supported(plan, M, out_dtype)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -101,12 +101,12 @@ def sdft(plan: Plan, state: State, samples, layout: str = "packed",
         raise ValueError("spectra_dtype requires layout='planar'")
     samples = jnp.asarray(samples)
     if samples.ndim == 1:
-        if _use_pallas(plan, samples.shape[-1]):
+        if _use_pallas(plan, samples.shape[-1], spectra_dtype):
             return forward_block_pallas(plan, state, samples, layout=layout,
                                         out_dtype=spectra_dtype)
         return _sdft_1d(plan, state, samples, layout, spectra_dtype)
     if samples.ndim == 2:
-        if _use_pallas(plan, samples.shape[-1]):
+        if _use_pallas(plan, samples.shape[-1], spectra_dtype):
             return _sdft_2d_pallas(plan, state, samples, layout, spectra_dtype)
         return _sdft_2d(plan, state, samples, layout, spectra_dtype)
     raise ValueError(f"samples must be (M,) or (C, M), got {samples.shape}")

@@ -92,20 +92,21 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
-def plan_supported(plan: Plan, M: int) -> bool:
+def plan_supported(plan: Plan, M: int, out_dtype: str | None = None) -> bool:
     del M  # any block length: partial tiles are zero-padded internally
     from ..ops.twiddle import MAX_INT32_DFTSIZE
 
     p = plan.precision.resolve()
+    out_bytes = 2 if out_dtype == "bfloat16" else 4
     return (
         p.td == "float32"
         and p.fd == "float32"
         and plan.dftsize >= 128
         and plan.dftsize <= MAX_INT32_DFTSIZE   # int32 two-level phases
-        # a VMEM-feasible spectra-kernel tile configuration must exist
-        # (forward_block_pallas auto-routes toephoist -> toepconv for ROI
-        # plans and for dftsizes whose toephoist tables would blow VMEM)
-        and _conv_pick_tiles(plan.dftsize, 4) is not None
+        # a VMEM-feasible spectra-kernel tile configuration must exist for
+        # the requested output element type (bf16 halves the staging, so
+        # some large dftsizes are bf16-only)
+        and _conv_pick_tiles(plan.dftsize, out_bytes) is not None
     )
 
 
@@ -1198,7 +1199,9 @@ def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
 
 def _conv_pick_tiles(m: int, out_bytes: int) -> tuple[int, int] | None:
     """(tile_k, super_r) for the super-tiled kernel under the VMEM budget,
-    or None if no configuration fits (caller falls back to the XLA path).
+    or None if no configuration fits (plan_supported reports such plans
+    False so api.sdft routes to the XLA path; a direct
+    forward_block_pallas call raises).
 
     Preference order is the measured optimum per output element type
     (docs/PERF.md round-4 sweep: f32 -> K=96/R=4, bf16 -> K=64/R=8).
@@ -1520,10 +1523,12 @@ def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
     spectra write — the forward path's roofline; the internal scan stays
     exact f32, only the emitted planes are rounded.
 
-    ``cumsum_mode`` selects the kernel: "toephoist" (default) is the
-    hoisted-Toeplitz stateless kernel (_kernel_spectra); the in-kernel
-    scan variants ("mxu2"/"mxu3"/"vpu"/"mxu_f32") remain for the fused
-    round trip and A/B measurement.
+    ``cumsum_mode`` selects the kernel: "toepconv" (default) is the
+    super-tiled hoisted-Toeplitz kernel (_kernel_spectra_conv; measured
+    optimum, ROI-capable, with the fold_conv/direct variants for A/B);
+    "toephoist" is the round-3 single-tile kernel (_kernel_spectra); the
+    in-kernel scan variants ("mxu2"/"mxu3"/"vpu"/"mxu_f32") remain for
+    the fused round trip and A/B measurement.
     """
     if cumsum_mode not in ("toepconv", "toephoist", "mxu2", "mxu3", "vpu",
                            "mxu_f32"):

@@ -866,9 +866,7 @@ def _chain_jit(plan: Plan, state: State, xs, lti_consts, hop_consts,
             return (st, since), (hd, y)
         if refresh_every == 1:
             return (_refresh(st), since), (hd, y)
-        since = since + 1
-        st = jax.lax.cond(since >= refresh_every, _refresh, lambda s: s, st)
-        since = jnp.where(since >= refresh_every, 0, since)
+        st, since = _chain_refresh(plan, refresh_every, st, since)
         return (st, since), (hd, y)
 
     (state, _), (hdfts, ys) = jax.lax.scan(

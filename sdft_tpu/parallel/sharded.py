@@ -695,8 +695,10 @@ def sharded_sdft_pallas(plan: Plan, mesh: Mesh, state: State, samples,
 
     The scale path for the primary `sdft()` API: the per-sample spectra
     write is the single-chip roofline (docs/PERF.md), and this program
-    splits it linearly across the `time` axis with one comb-history
-    ppermute as the only collective.  Requires a bins=1 mesh (bin-sharded
+    splits it linearly across the `time` axis — the carry comes from the
+    comb history each shard already holds, so the only collectives are
+    _comb_history's exchanges (size local blocks >= 2m to keep them at a
+    tail ppermute + 2m all_gather).  Requires a bins=1 mesh (bin-sharded
     spectra take the XLA scan path, `sharded_sdft`) and a Pallas-feasible
     plan (kernels.plan_supported).
 
@@ -713,7 +715,12 @@ def sharded_sdft_pallas(plan: Plan, mesh: Mesh, state: State, samples,
     if ax["bins"] != 1:
         raise ValueError("sharded_sdft_pallas shards time/channel only; "
                          "use sharded_sdft for bin-sharded spectra")
-    if not plan_supported(plan, M):
+    if layout not in ("packed", "planar"):
+        raise ValueError(f"layout must be 'packed' or 'planar', "
+                         f"got {layout!r}")
+    if spectra_dtype and layout != "planar":
+        raise ValueError("spectra_dtype requires layout='planar'")
+    if not plan_supported(plan, M, spectra_dtype):
         raise ValueError(f"plan {plan} outside the Pallas fast path; "
                          "use sharded_sdft")
     return _sharded_sdft_pallas_jit(plan, mesh, state, samples, layout,
