@@ -549,7 +549,8 @@ def sharded_sdft_hopped(plan: Plan, mesh: Mesh, state: State, samples,
     return _sharded_hopped_jit(plan, mesh, state, samples, consts, hop)
 
 
-def sharded_sdft(plan: Plan, mesh: Mesh, state: State, samples):
+def sharded_sdft(plan: Plan, mesh: Mesh, state: State, samples,
+                 use_pallas: bool | None = None):
     """Forward analysis over the mesh.
 
     Args:
@@ -557,14 +558,27 @@ def sharded_sdft(plan: Plan, mesh: Mesh, state: State, samples):
       mesh: ('channel', 'time', 'bins') mesh from make_mesh.
       state: batched State (leading channel axis on all leaves).
       samples: (C, M) samples.
+      use_pallas: None (default) auto-dispatches to the fused-kernel
+        program (sharded_sdft_pallas) when the mesh is bins=1, the plan
+        rides the Pallas fast path, and a TPU backend is attached —
+        mirroring api.sdft's dispatch; True forces it (raises when
+        infeasible), False forces the XLA scan program.
 
     Returns:
       (new_state, dfts) with dfts packed (C, M, m, 2), sharded
       (channel, time, bins, -).
     """
+    from ..kernels import pallas_supported, plan_supported
+
     samples = jnp.asarray(samples)
     C, M = samples.shape
     _check_layout(plan, mesh, C, M)
+    ax = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if use_pallas is None:
+        use_pallas = (ax["bins"] == 1 and pallas_supported()
+                      and plan_supported(plan, M))
+    if use_pallas:
+        return sharded_sdft_pallas(plan, mesh, state, samples)
     return _sharded_sdft_jit(plan, mesh, state, samples)
 
 

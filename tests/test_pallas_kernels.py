@@ -146,6 +146,10 @@ def test_plan_supported_gates():
     assert plan_supported(Plan(4096, precision=F32), 16384)
     # dftsizes whose tables cannot fit VMEM fall back to the XLA path
     assert not plan_supported(Plan(1 << 17, precision=F32), 4096)
+    # bf16 output halves the staging: m=65536 is a bf16-only Pallas size
+    assert not plan_supported(Plan(1 << 16, precision=F32), 4096)
+    assert plan_supported(Plan(1 << 16, precision=F32), 4096,
+                          out_dtype="bfloat16")
 
 
 def test_bf16_spectra_output():
