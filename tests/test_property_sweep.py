@@ -80,3 +80,43 @@ def test_odd_shapes_vs_naive_oracle(m, window, latency, block, hop):
                                    d_ref[:n2 * bh:hop], atol=1e-11)
         np.testing.assert_allclose(np.asarray(yy).reshape(-1),
                                    y_ref[:n2 * bh], atol=1e-11)
+
+
+PALLAS_CASES = [
+    # (m, window, roi, mode_kwargs)
+    (136, "hann", None, dict(cumsum_mode="toepconv", fold_conv=False)),
+    (136, "blackman", (3, 130), dict(cumsum_mode="toepconv", fold_conv=True)),
+    (256, "hamming", (32, 200), dict(cumsum_mode="toepconv", direct=True)),
+    (256, "boxcar", None, dict(cumsum_mode="toephoist")),
+    (1000, "hann", None, dict(cumsum_mode="toepconv", tile_k=32, super_r=3)),
+]
+
+
+@pytest.mark.parametrize("m,window,roi,kw", PALLAS_CASES)
+def test_pallas_variants_odd_shapes(m, window, roi, kw):
+    """Every shipped Pallas kernel variant across odd shapes, ROI, and a
+    carried (offset != 0) stream, vs the XLA scan path (interpret mode)."""
+    from sdft_tpu.kernels import forward_block_pallas
+    from sdft_tpu.ops.analysis import sdft_block
+
+    F32 = Precision("float32", "float32")
+    plan = Plan(m, window=window, precision=F32, roi=roi)
+    rng = np.random.default_rng(m + 3)
+    blocks = [int(rng.integers(m // 2, 3 * m)) for _ in range(2)]
+    x = np.clip(rng.standard_normal(sum(blocks)), -3, 3).astype(np.float32) / 2
+
+    st_x = st_k = init_state(plan)
+    pos = 0
+    for blk_len in blocks:
+        blk = x[pos:pos + blk_len]
+        pos += blk_len
+        st_x, d_x = sdft_block(plan, st_x, blk)
+        st_k, d_k = forward_block_pallas(plan, st_k, blk, interpret=True,
+                                         **kw)
+        scale = max(np.abs(np.asarray(d_x)).max(), 1e-6)
+        err = np.abs(np.asarray(d_k) - np.asarray(d_x)).max()
+        assert err < 1e-3 * scale + 5e-6, (err, scale)
+    np.testing.assert_allclose(np.asarray(st_k.accumulator),
+                               np.asarray(st_x.accumulator), atol=5e-4)
+    np.testing.assert_array_equal(np.asarray(st_k.delayline),
+                                  np.asarray(st_x.delayline))
