@@ -169,7 +169,7 @@ def bench_tpu():
     # diagnostic: forward analysis emitting all spectra (Pallas kernel,
     # planar layout — the kernel's native output; both planes consumed so
     # the full (M, m) spectra hit HBM), f32 and bf16 output element types
-    rate_f = rate_fb = None
+    rate_f = rate_fb = rate_fp = None
     if use_pallas:
         xs = randn((K_HI_HEAVY, BLOCK))
         def fwd(st, x):
@@ -190,6 +190,19 @@ def bench_tpu():
         rate_fb = BLOCK / per_fb
         log(f"tpu forward+spectra (pallas, bf16 out): {per_fb * 1e3:.3f} "
             f"ms/block (signal {sig_fb:.0%}) -> {rate_fb:,.0f} samples/s")
+
+        # the spectrogram fast path: one |dft|^2 bf16 plane (sdft_power)
+        from sdft_tpu.kernels import forward_block_power
+
+        def fwdp(st, x):
+            st, p = forward_block_power(plan, st, x, out_dtype="bfloat16")
+            p32 = p[:, 0].astype(jnp.float32)
+            return st, jnp.sum(p32)
+        per_fp, sig_fp, _, _ = marginal(chain(fwdp), state, xs, K_HI_HEAVY,
+                                        n=3)
+        rate_fp = BLOCK / per_fp
+        log(f"tpu power spectra (pallas, bf16): {per_fp * 1e3:.3f} "
+            f"ms/block (signal {sig_fp:.0%}) -> {rate_fp:,.0f} samples/s")
         del xs
 
     # the reference driver protocol (hop-chunked streaming with per-hop
@@ -225,6 +238,8 @@ def bench_tpu():
         "forward_spectra_samples_per_s": round(rate_f, 1) if rate_f else None,
         "forward_spectra_bf16_samples_per_s":
             round(rate_fb, 1) if rate_fb else None,
+        "power_spectra_bf16_samples_per_s":
+            round(rate_fp, 1) if rate_fp else None,
         "driver_protocol_samples_per_s": round(rate_d, 1),
         "marginal_signal_fraction": round(sig, 4),
     }

@@ -10,7 +10,7 @@ bounded-memory streaming, and multi-chip sharding over bins/time/channels.
 
 from .api import (isdft, isdft_interleaved, refresh, roundtrip,
                   roundtrip_hopped, sdft, sdft_interleaved,
-                  sdft_hopped)
+                  sdft_hopped, sdft_power)
 from .compat import SDFT, STFT
 from .config import DEFAULT_PRECISION, FAST_PRECISION, Precision
 from .cplx import from_complex, to_complex
@@ -36,6 +36,7 @@ __all__ = [
     "sdft",
     "sdft_hopped",
     "sdft_interleaved",
+    "sdft_power",
     "isdft",
     "isdft_interleaved",
     "refresh",

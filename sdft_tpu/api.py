@@ -282,3 +282,46 @@ def isdft_interleaved(plan: Plan, dfts) -> jax.Array:
         raise ValueError("isdft_interleaved needs channel-batched spectra "
                          "(C, M, m, 2)")
     return y.T
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _sdft_power_xla(plan: Plan, state: State, spectra_dtype, samples):
+    if samples.ndim == 1:
+        st, d = sdft_block(plan, state, samples)
+    else:
+        st, d = jax.vmap(lambda s, x: sdft_block(plan, s, x))(state, samples)
+    p = d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1]
+    if spectra_dtype:
+        p = p.astype(spectra_dtype)
+    return st, p
+
+
+def sdft_power(plan: Plan, state: State, samples,
+               spectra_dtype: str | None = None):
+    """Forward analysis emitting the POWER spectrum |dft|^2 per sample —
+    the spectrogram fast path.
+
+    The full-rate complex spectra write is the forward path's roofline
+    (docs/PERF.md); magnitude/spectrogram consumers discard the phase, so
+    emitting one |.|^2 plane halves that write (``spectra_dtype="bfloat16"``
+    halves it again — power is consumed logarithmically, where bf16's ~3
+    decimal digits are transparent).  On TPU the squaring happens inside
+    the fused kernel at the store; elsewhere it is the XLA composition.
+
+    Returns (new_state, power) with power (M, m) / (C, M, m) real.
+    """
+    samples = jnp.asarray(samples)
+    if samples.ndim not in (1, 2):
+        raise ValueError(f"samples must be (M,) or (C, M), got {samples.shape}")
+    if _use_pallas(plan, samples.shape[-1], spectra_dtype):
+        from .kernels import forward_block_power
+
+        if samples.ndim == 1:
+            return forward_block_power(plan, state, samples,
+                                       out_dtype=spectra_dtype)
+        return jax.jit(
+            lambda st, x: jax.vmap(
+                lambda s1, x1: forward_block_power(
+                    plan, s1, x1, out_dtype=spectra_dtype))(st, x)
+        )(state, samples)
+    return _sdft_power_xla(plan, state, spectra_dtype, samples)

@@ -733,7 +733,7 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
                          fold_conv: bool, manual_out: bool = False,
                          n_out: int = 0, n_steps: int = 0,
                          lean: bool = False, direct: bool = False,
-                         dma_tables: bool = True):
+                         power: bool = False, dma_tables: bool = True):
     """Super-tiled stateless spectra step: R tiles of K samples per step,
     ONE (R*K, 3K) @ (3K, 2W) bf16-split contraction — the Toeplitz depth K
     (MXU work per sample) is decoupled from the R*K samples each grid step
@@ -772,18 +772,24 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
     t = pl.program_id(0)
     oscr_re = oscr_im = osems = None
     nt_tab = 4 if direct else 3
+    n_outs = 1 if power else 2
     if dma_tables:
         hbm_tables = refs[:nt_tab]
-        dft_re_ref, dft_im_ref = refs[nt_tab], refs[nt_tab + 1]
-        scratch_tables = refs[nt_tab + 2:2 * nt_tab + 2]
-        sems = refs[2 * nt_tab + 2]
+        if power:
+            dft_re_ref = refs[nt_tab]
+            dft_im_ref = None
+        else:
+            dft_re_ref, dft_im_ref = refs[nt_tab], refs[nt_tab + 1]
+        scratch_tables = refs[nt_tab + n_outs:2 * nt_tab + n_outs]
+        sems = refs[2 * nt_tab + n_outs]
         if direct:
             dmf_re, dmf_im, b_conv, b_conv2 = scratch_tables
         else:
             dmf_re, dmf_im, b_conv = scratch_tables
             b_conv2 = None
         if manual_out:
-            oscr_re, oscr_im, osems = refs[2 * nt_tab + 3:2 * nt_tab + 6]
+            oscr_re, oscr_im, osems = refs[2 * nt_tab + n_outs + 1:
+                                           2 * nt_tab + n_outs + 4]
 
         @pl.when(t == 0)
         def _load_tables():
@@ -796,7 +802,11 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
     else:
         dmf_re, dmf_im, b_conv = refs[:3]
         b_conv2 = refs[3] if direct else None
-        dft_re_ref, dft_im_ref = refs[nt_tab], refs[nt_tab + 1]
+        if power:
+            dft_re_ref = refs[nt_tab]
+            dft_im_ref = None
+        else:
+            dft_re_ref, dft_im_ref = refs[nt_tab], refs[nt_tab + 1]
 
     RK = R * K
     if manual_out:
@@ -871,11 +881,17 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
             # block, then apply the carry read-modify-write — no 2W-wide
             # dots temp in the chain
             dre, dim_ = dsub
-            dft_re_ref[rows, :] = dre[:, :m].astype(dft_re_ref.dtype)
-            dft_im_ref[rows, :] = dim_[:, :m].astype(dft_im_ref.dtype)
             d_re, d_im = carry_rows(base)
             car_re = (mre * d_re - mim * d_im)[:, :m]
             car_im = (mre * d_im + mim * d_re)[:, :m]
+            if power:
+                pr = dre[:, :m] + car_re
+                pi = dim_[:, :m] + car_im
+                dft_re_ref[rows, :] = (pr * pr + pi * pi).astype(
+                    dft_re_ref.dtype)
+                return
+            dft_re_ref[rows, :] = dre[:, :m].astype(dft_re_ref.dtype)
+            dft_im_ref[rows, :] = dim_[:, :m].astype(dft_im_ref.dtype)
             dft_re_ref[rows, :] = (
                 dft_re_ref[rows, :].astype(jnp.float32)
                 + car_re).astype(dft_re_ref.dtype)
@@ -910,7 +926,11 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
                 roi_row = ((ib2 >= first) & (ib2 < last)).astype(jnp.float32)
                 out_re = out_re * roi_row
                 out_im = out_im * roi_row
-        if manual_out:
+        if power:
+            dft_re_ref[rows, :] = (out_re * out_re
+                                   + out_im * out_im).astype(
+                dft_re_ref.dtype)
+        elif manual_out:
             oscr_re[pl.ds(slot * RK + r * K, K), :] = (
                 out_re.astype(oscr_re.dtype))
             oscr_im[pl.ds(slot * RK + r * K, K), :] = (
@@ -928,7 +948,12 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
             vpu_store(prev[0], prev[1])
         prev = (r, cur)
     vpu_store(prev[0], prev[1])
-    if manual_out:
+    if power:
+        if nfixed:
+            # launcher pre-squares the fix columns for the power path
+            dft_re_ref[:, m - nfixed:m] = (
+                fix_ref[:, :nfixed].astype(dft_re_ref.dtype))
+    elif manual_out:
         if nfixed:
             oscr_re[pl.ds(slot * RK, RK), m - nfixed:m] = (
                 fix_ref[:, :nfixed].astype(oscr_re.dtype))
@@ -1218,13 +1243,14 @@ def _conv_pick_tiles(m: int, out_bytes: int) -> tuple[int, int] | None:
     return None
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.jit,
+                   static_argnums=(0, 4, 5, 6, 7, 8, 9, 10, 11, 12))
 def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
                          interpret: bool = False, tile_k: int = CONV_TILE_K,
                          super_r: int = CONV_SUPER_R, layout: str = "packed",
                          out_dtype: str | None = None,
                          fold_conv: bool = True, lean: bool = False,
-                         direct: bool = False):
+                         direct: bool = False, power: bool = False):
     """Forward spectra via the conv-folded hoisted-Toeplitz kernel.
 
     Same hoisting strategy as _launch_spectra_toeplitz (all sequential
@@ -1300,8 +1326,14 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
     toep_hi, toep_lo = _toeplitz_blocks(delta, ntp, K)
 
     odt = jnp.dtype(out_dtype) if out_dtype else jnp.float32
-    if odt != jnp.float32 and layout != "planar":
+    if odt != jnp.float32 and layout != "planar" and not power:
         raise ValueError("non-f32 spectra require layout='planar'")
+    if power and halo:
+        # the kernel emits |dft|^2 directly; pre-square the Hermitian
+        # top-edge fix columns (order: [re x halo | im x halo])
+        fpow = (fix[:, :halo] * fix[:, :halo]
+                + fix[:, halo:] * fix[:, halo:])
+        fix = jnp.concatenate([fpow, jnp.zeros_like(fpow)], axis=-1)
 
     nfix = fix.shape[-1]
     # manual ping-pong output DMA measured IDENTICAL to Mosaic's automatic
@@ -1348,10 +1380,12 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
                                super_r=R, nfixed=halo, crow_stride=stride,
                                fold_conv=fold_conv, manual_out=manual_out,
                                n_out=M, n_steps=nts, lean=lean,
-                               direct=direct, dma_tables=not interpret)
+                               direct=direct, power=power,
+                               dma_tables=not interpret)
     table_inputs = ((dmf_re, dmf_im, b_c1, b_c2) if direct
                     else (dmf_re, dmf_im, b_c1))
-    dft_re, dft_im = pl.pallas_call(
+    n_outs = 1 if power else 2
+    outs = pl.pallas_call(
         kernel,
         grid=(nts,),
         in_specs=[
@@ -1366,8 +1400,8 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
             pl.BlockSpec((K, 128), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),        # phi columns
         ] + [table_spec] * len(table_inputs),
-        out_shape=(jax.ShapeDtypeStruct((M, m), odt),) * 2,
-        out_specs=out_specs,
+        out_shape=(jax.ShapeDtypeStruct((M, m), odt),) * n_outs,
+        out_specs=out_specs[:n_outs],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -1381,6 +1415,9 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
         delayline=new_delayline,
         accumulator=acc_out.astype(state.accumulator.dtype),
     )
+    if power:
+        return new_state, outs[0]
+    dft_re, dft_im = outs
     if layout == "planar":
         return new_state, (dft_re, dft_im)
     return new_state, jnp.stack([dft_re, dft_im], axis=-1)
@@ -1583,6 +1620,34 @@ def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
     new_state, dfts, _ = _launch(plan, state, samples, True, False, interpret,
                                  cumsum_mode, tile_k, layout, out_dtype)
     return new_state, dfts
+
+
+def forward_block_power(plan: Plan, state: State, samples, interpret=False,
+                        out_dtype=None, tile_k=None, super_r=None,
+                        fold_conv=False, direct=False):
+    """Fused forward analysis emitting the POWER spectrum |dft|^2 only —
+    one (M, m) plane instead of the (re, im) pair, halving the output
+    write (the path's roofline, docs/PERF.md) for spectrogram/magnitude
+    consumers.  ``out_dtype="bfloat16"`` halves it again.  The internal
+    scan stays exact f32; squaring happens at the store."""
+    odt_bytes = 2 if out_dtype == "bfloat16" else 4
+    pick = _conv_pick_tiles(plan.dftsize, odt_bytes)
+    if pick is None:
+        raise ValueError(
+            f"dftsize {plan.dftsize} has no VMEM-feasible spectra-kernel "
+            "tiling; use the XLA path (plan_supported is False)")
+    auto_k, auto_r = pick
+    K = tile_k if tile_k is not None else auto_k
+    R = super_r if super_r is not None else (auto_r if tile_k is None else 1)
+    if direct:
+        tables = (_spectra_tables_direct(plan, K, False)
+                  + _coarse_rows_host(plan, K))
+    else:
+        tables = (_spectra_tables_conv(plan, K, fold_conv, False)
+                  + _coarse_rows_host(plan, K))
+    return _launch_spectra_conv(plan, state, samples, tables, interpret,
+                                K, R, "planar", out_dtype, fold_conv,
+                                False, direct, True)
 
 
 def roundtrip_block_fused(plan: Plan, state: State, samples, interpret=False,

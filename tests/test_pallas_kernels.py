@@ -333,3 +333,34 @@ def test_pallas_large_m_phase_products_exact():
     acc_err = np.abs(np.asarray(st_k.accumulator)
                      - np.asarray(st_x.accumulator)).max()
     assert acc_err < 2e-3 * acc_scale, (acc_err, acc_scale)
+
+
+@pytest.mark.parametrize("window,roi", [("hann", None), ("blackman", None),
+                                        ("hamming", (20, 150))])
+def test_power_spectra_matches_complex(window, roi):
+    """forward_block_power emits |dft|^2 of the complex path (the
+    spectrogram fast path: one output plane instead of re+im), on the
+    kernel (interpret) and the api XLA fallback, batched included."""
+    from sdft_tpu import sdft, sdft_power
+    from sdft_tpu.kernels import forward_block_power
+
+    plan = Plan(256, window=window, precision=F32, roi=roi)
+    x = _signal(500, seed=41).astype(np.float32)
+    st0 = init_state(plan)
+    _, d = sdft(plan, st0, x)
+    want = np.asarray(d)[..., 0] ** 2 + np.asarray(d)[..., 1] ** 2
+
+    st_k, p = forward_block_power(plan, st0, x, interpret=True)
+    err = np.abs(np.asarray(p) - want).max()
+    assert err < 1e-4 * want.max() + 1e-12
+
+    _, pa = sdft_power(plan, st0, x)          # CPU -> XLA fallback
+    np.testing.assert_allclose(np.asarray(pa), want, atol=1e-9)
+
+    # batched + bf16 element type
+    xs = np.stack([x, _signal(500, seed=42).astype(np.float32)])
+    sts = init_state(plan, channels=2)
+    _, pb = sdft_power(plan, sts, xs, spectra_dtype="bfloat16")
+    assert pb.shape == (2, 500, 256)
+    import jax.numpy as jnp
+    assert pb.dtype == jnp.bfloat16

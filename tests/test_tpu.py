@@ -390,3 +390,22 @@ def test_sharded_pallas_spectra_on_tpu(oracle, signal):
     eng = oracle(M_BINS, "hann", td_bits=64)
     want = eng.sdft(x[0].astype(np.float64))
     np.testing.assert_allclose(got, want, atol=5e-7, rtol=1e-4)
+
+
+def test_power_spectra_kernel_on_tpu(oracle, signal):
+    """forward_block_power on the real chip vs the f64 oracle |dft|^2 —
+    the spectrogram fast path (one output plane)."""
+    from sdft_tpu.kernels import forward_block_power
+
+    plan = Plan(M_BINS, window="hann", precision=FAST_PRECISION)
+    eng = oracle(M_BINS, "hann", td_bits=64)
+    x = signal[:BLOCK]
+    want = np.abs(eng.sdft(x.astype(np.float64))) ** 2
+    scale = want.max()
+
+    _, p = forward_block_power(plan, init_state(plan), x)
+    assert np.abs(np.asarray(p) - want).max() < 1e-5 * scale
+
+    _, p16 = forward_block_power(plan, init_state(plan), x,
+                                 out_dtype="bfloat16")
+    assert np.abs(np.asarray(p16, np.float32) - want).max() < 1e-2 * scale
