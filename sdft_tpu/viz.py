@@ -43,6 +43,14 @@ def magnitude_db(dfts) -> np.ndarray:
         return 20.0 * np.log10(np.abs(a) + _EPS)
 
 
+def power_db(power) -> np.ndarray:
+    """dB matrix ``10*log10(power)`` for |dft|^2 planes (api.sdft_power) —
+    equals magnitude_db of the corresponding complex spectra."""
+    p = np.asarray(power, np.float64)
+    with np.errstate(divide="ignore"):
+        return 10.0 * np.log10(p + _EPS * _EPS)
+
+
 def spectrogram(dfts, samplerate: int, hopsize: int = 1, *, ax=None,
                 vmin: float = -120.0, vmax: float = 0.0, cmap: str = "inferno",
                 title: str | None = None):

@@ -38,3 +38,12 @@ def test_spectrogram_smoke(tmp_path):
     compare_spectrograms([("a", dfts), ("b", dfts)], samplerate=8000,
                          hopsize=4, path=str(out))
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_power_db_matches_magnitude_db():
+    from sdft_tpu.viz import magnitude_db, power_db
+
+    rng = np.random.default_rng(3)
+    z = rng.standard_normal((5, 8)) + 1j * rng.standard_normal((5, 8))
+    np.testing.assert_allclose(power_db(np.abs(z) ** 2), magnitude_db(z),
+                               atol=1e-6)
