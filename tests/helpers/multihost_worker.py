@@ -65,6 +65,26 @@ def main():
     np.testing.assert_allclose(acc, np.asarray(st_ref.accumulator),
                                atol=1e-12)
 
+    # time-sharded Pallas spectra program across the process boundary
+    # (interpret-mode kernel; local blocks < 2m exercise the cross-process
+    # comb-history all_gather)
+    from sdft_tpu import sdft as _sdft
+    from sdft_tpu.parallel import sharded_sdft_pallas
+
+    mesh2 = multihost.global_mesh(channel=1, time=4, bins=1)
+    plan2 = Plan(128, window="hann",
+                 precision=Precision("float32", "float32"))
+    x2 = (np.clip(rng.standard_normal((1, 1024)), -3, 3) / 2
+          ).astype(np.float32)
+    st2 = State(*[multihost.global_array(mesh2, spec, np.asarray(leaf))
+                  for leaf, spec in zip(init_state(plan2, channels=1),
+                                        STATE_SPECS)])
+    x2g = multihost.global_array(mesh2, SAMPLE_SPEC, x2)
+    st2, d2 = sharded_sdft_pallas(plan2, mesh2, st2, x2g, interpret=True)
+    d2h = multihost_utils.process_allgather(d2, tiled=True)
+    _, d2ref = _sdft(plan2, init_state(plan2, channels=1), x2)
+    np.testing.assert_allclose(d2h, np.asarray(d2ref), atol=5e-6)
+
     with open(os.path.join(out_dir, f"ok{pid}"), "w") as f:
         f.write("OK")
     print(f"worker {pid}: OK", flush=True)
