@@ -31,10 +31,11 @@ K_TILE_8CH = 1024   # best 8-channel tile
 # tunnel dispatch floor (VERDICT r1 weak#6: at k_hi=40 the signal was <2% of
 # the measurement; at 520 blocks x ~0.08 ms it is a majority of t_hi).
 K_LO, K_HI = 8, 520
-K_HI_FLAG = 264     # flagship 65536-sample blocks: 256 x ~0.11 ms marginal is
-                    # already >50% of t_hi, and the big-block chain (25 MB of
-                    # plan-constant literals per program) compiles slowly —
-                    # keep the whole bench inside the driver's budget
+K_HI_FLAG = 520     # flagship 65536-sample blocks: 512 x ~0.1 ms marginal is
+                    # ~65-70% of t_hi — headline captures varied 525-683M at
+                    # the old 264-block chain purely with tunnel mood, so buy
+                    # signal with chain length (plan constants are passed as
+                    # device args since r3, so the long chain compiles fine)
 K_HI_HEAVY = 136    # for configs whose per-block cost is ~10x the 1-channel
 
 
