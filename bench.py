@@ -30,12 +30,11 @@ K_TILE_8CH = 1024   # best 8-channel tile
 # Chain lengths: long enough that the k_hi-k_lo delta dominates the ~25-30 ms
 # tunnel dispatch floor (VERDICT r1 weak#6: at k_hi=40 the signal was <2% of
 # the measurement; at 520 blocks x ~0.08 ms it is a majority of t_hi).
-K_LO, K_HI = 8, 520
-K_HI_FLAG = 520     # flagship 65536-sample blocks: 512 x ~0.1 ms marginal is
-                    # ~65-70% of t_hi — headline captures varied 525-683M at
-                    # the old 264-block chain purely with tunnel mood, so buy
-                    # signal with chain length (plan constants are passed as
-                    # device args since r3, so the long chain compiles fine)
+K_LO, K_HI = 8, 520  # 512 x ~0.1 ms marginal is ~65-70% of t_hi for the
+                     # flagship rows (264 blocks measured 525-683M across
+                     # captures purely with tunnel mood; plan constants are
+                     # device args since r3, so long chains compile fine)
+K_HI_FLAG = K_HI     # flagship rows share the chain length
 K_HI_HEAVY = 136    # for configs whose per-block cost is ~10x the 1-channel
 
 
@@ -113,15 +112,15 @@ def bench_tpu():
         f"ms/block marginal (chain {K_LO}: {t_lo * 1e3:.1f} ms, chain "
         f"{K_HI_FLAG}: {t_hi * 1e3:.1f} ms, signal {sig:.0%}) "
         f"-> {rate:,.0f} samples/s")
-    del xs
 
     # the split4 accuracy mode (4-pass masked bf16 split GEMMs, ~1e-4-class
     # synthesized-sample accuracy instead of exact f32; Precision docstring):
-    # the throughput-first streaming configuration
+    # the throughput-first streaming configuration.  Reuses xs (same shape
+    # and key — regenerating the 136 MB array would only buy an extra
+    # tunnel dispatch).
     from sdft_tpu import Precision
     plan_s4 = Plan(M_BINS, window="hann",
                    precision=Precision("float32", "float32", mxu="split4"))
-    xs = randn((K_HI_FLAG, BLOCK))
     many_s4 = chain(lambda st, x: roundtrip_block_lti(plan_s4, st, x,
                                                       K_TILE_1CH))
     per_s4, sig_s4, _, _ = marginal(many_s4, init_state(plan_s4), xs,
