@@ -230,6 +230,18 @@ def bench_tpu():
         f"ms/block (signal {sig_d:.0%}) -> {rate_d:,.0f} samples/s")
     del xs_d
 
+    # same protocol at the CLI's default 16000-sample blocks: the fused
+    # body's cost is mostly fixed per step, so bigger blocks amortize it
+    # (chunking invariance makes any hop-multiple block the same protocol)
+    DRV_BLOCK2, K_HI_D2 = 16000, 260
+    xs_d2 = randn((K_HI_D2, DRV_BLOCK2))
+    per_d2, sig_d2, _, _ = marginal(drv_many, init_state(plan_drv),
+                                    xs_d2, K_HI_D2)
+    rate_d2 = DRV_BLOCK2 / per_d2
+    log(f"tpu driver protocol (block=16000): {per_d2 * 1e3:.3f} "
+        f"ms/block (signal {sig_d2:.0%}) -> {rate_d2:,.0f} samples/s")
+    del xs_d2
+
     return rate, {
         "samples_per_s_block16k": round(rate2, 1),
         "roundtrip_split4_samples_per_s": round(rate_s4, 1),
@@ -241,6 +253,7 @@ def bench_tpu():
         "power_spectra_bf16_samples_per_s":
             round(rate_fp, 1) if rate_fp else None,
         "driver_protocol_samples_per_s": round(rate_d, 1),
+        "driver_protocol_16k_samples_per_s": round(rate_d2, 1),
         "marginal_signal_fraction": round(sig, 4),
     }
 

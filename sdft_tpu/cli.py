@@ -54,6 +54,21 @@ def main(argv=None) -> int:
     srcfile, wavfile, dftfile = argv[4:7]
     extras = argv[7:]
     fd = "float32" if "--fd32" in extras else "float64"
+    if fd == "float64":
+        # the f64 parity mode needs the x64 flag or the dtypes silently
+        # resolve to f32 (Precision resolves against the runtime flag) —
+        # without it a standalone run drifts at the f32 class and different
+        # --block sizes differ at ~1e-7 instead of ~1e-13.  The TPU runtime
+        # has no f64 (its x64 rewriter aborts on complex128), so only the
+        # CPU backend gets the flag; on TPU the f64 request runs the f32
+        # fast path as before.
+        import jax
+
+        try:
+            if jax.default_backend() == "cpu":
+                jax.config.update("jax_enable_x64", True)
+        except Exception:
+            pass
     mesh = None
     nt_mesh = 1
     if "--mesh" in extras:
@@ -69,7 +84,12 @@ def main(argv=None) -> int:
         mesh = make_mesh(nc, ntm, nb)
         nt_mesh = ntm
 
-    block = hopsize * nt_mesh
+    # default block: >= 16k samples per chained step — the per-step cost of
+    # the fused driver body is mostly fixed (~16 us on the hosted chip), so
+    # hop-sized blocks leave 3-4x throughput on the table (measured 235M
+    # samples/s at 4000-sample blocks vs 785M at 16000, docs/PERF.md)
+    unit = hopsize * nt_mesh
+    block = unit * max(1, -(-16000 // unit))
     if "--block" in extras:
         block = int(extras[extras.index("--block") + 1])
     if block % hopsize:
