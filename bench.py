@@ -222,9 +222,13 @@ def bench_tpu():
         st, hd, ys = roundtrip_hopped(plan_drv, state, xs[:k], DRV_HOP)
         return jnp.sum(ys * ys) + jnp.sum(hd)
 
-    xs_d = randn((K_HI, DRV_BLOCK))
+    # 4000-sample blocks cost only ~16 us each, so the 520-block chain sits
+    # near the tunnel noise floor; quadruple the chain and repeats to keep
+    # the marginal conditioned
+    K_HI_DRV = 2080
+    xs_d = randn((K_HI_DRV, DRV_BLOCK))
     per_d, sig_d, _, _ = marginal(drv_many, init_state(plan_drv),
-                                  xs_d, K_HI)
+                                  xs_d, K_HI_DRV, n=8)
     rate_d = DRV_BLOCK / per_d
     log(f"tpu driver protocol (m=1000 hop=100 chained): {per_d * 1e3:.3f} "
         f"ms/block (signal {sig_d:.0%}) -> {rate_d:,.0f} samples/s")
