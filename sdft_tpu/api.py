@@ -285,6 +285,16 @@ def isdft_interleaved(plan: Plan, dfts) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
+def _sdft_power_2d_pallas(plan: Plan, state: State, spectra_dtype, samples):
+    from .kernels import forward_block_power
+
+    return jax.vmap(
+        lambda s1, x1: forward_block_power(plan, s1, x1,
+                                           out_dtype=spectra_dtype)
+    )(state, samples)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def _sdft_power_xla(plan: Plan, state: State, spectra_dtype, samples):
     if samples.ndim == 1:
         st, d = sdft_block(plan, state, samples)
@@ -319,9 +329,5 @@ def sdft_power(plan: Plan, state: State, samples,
         if samples.ndim == 1:
             return forward_block_power(plan, state, samples,
                                        out_dtype=spectra_dtype)
-        return jax.jit(
-            lambda st, x: jax.vmap(
-                lambda s1, x1: forward_block_power(
-                    plan, s1, x1, out_dtype=spectra_dtype))(st, x)
-        )(state, samples)
+        return _sdft_power_2d_pallas(plan, state, spectra_dtype, samples)
     return _sdft_power_xla(plan, state, spectra_dtype, samples)

@@ -17,8 +17,9 @@ Extra optional flags (after the 7 positionals):
   --mesh CxTxB  run the driver's analysis/synthesis over a
                 (channel, time, bins) device mesh (sdft_tpu.parallel) —
                 C must be 1 (the driver is mono), T*B <= device count.
-                Implies a block of lcm(hop, T) tiles; same output as the
-                single-device path (shard-count invariance).
+                Blocks default to hop*T rounded up to >= 16000 samples
+                (same output as the single-device path by shard-count and
+                chunking invariance).
 """
 
 from __future__ import annotations
@@ -156,7 +157,10 @@ def main(argv=None) -> int:
         state = init_state(plan)
         bin_bytes = 8 if fd == "float32" else 16  # packed re/im pair
         bytes_per_block = max(1, (block // hopsize) * dftsize * bin_bytes)
-        nb = int(min(32, max(1, _SUPER_DFT_BYTES // bytes_per_block)))
+        # cap segments by the actual stream too: short WAVs must not be
+        # zero-padded to a full 32-block segment of wasted compute
+        nb = int(min(32, max(1, -(-size // block)),
+                     max(1, _SUPER_DFT_BYTES // bytes_per_block)))
         seg = nb * block
         padded = -(-size // seg) * seg
         xp = np.zeros(padded, x.dtype)

@@ -1546,6 +1546,33 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
     return new_state, dfts, y
 
 
+def _toepconv_config(plan: Plan, out_dtype, tile_k, super_r, fold_conv,
+                     direct, lean=False):
+    """Resolve the super-tiled kernel's (K, R, tables) for an output
+    element type — shared by forward_block_pallas and forward_block_power
+    so the tiling heuristics and table selection cannot drift apart."""
+    odt_bytes = 2 if out_dtype == "bfloat16" else 4
+    pick = _conv_pick_tiles(plan.dftsize, odt_bytes)
+    if pick is None:
+        # No VMEM-feasible configuration: refuse loudly rather than
+        # silently falling back to toephoist (which has no ROI support
+        # and its own VMEM hazard).  plan_supported reports this case
+        # False, so api dispatch routes to XLA instead.
+        raise ValueError(
+            f"dftsize {plan.dftsize} has no VMEM-feasible spectra-"
+            "kernel tiling; use the XLA path (plan_supported is False)")
+    auto_k, auto_r = pick
+    K = tile_k if tile_k is not None else auto_k
+    R = super_r if super_r is not None else (auto_r if tile_k is None else 1)
+    if direct:
+        tables = (_spectra_tables_direct(plan, K, lean)
+                  + _coarse_rows_host(plan, K))
+    else:
+        tables = (_spectra_tables_conv(plan, K, fold_conv, lean)
+                  + _coarse_rows_host(plan, K))
+    return K, R, tables
+
+
 def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
                          cumsum_mode="toepconv", tile_k=None,
                          layout="packed", out_dtype=None, super_r=None,
@@ -1630,21 +1657,8 @@ def forward_block_power(plan: Plan, state: State, samples, interpret=False,
     write (the path's roofline, docs/PERF.md) for spectrogram/magnitude
     consumers.  ``out_dtype="bfloat16"`` halves it again.  The internal
     scan stays exact f32; squaring happens at the store."""
-    odt_bytes = 2 if out_dtype == "bfloat16" else 4
-    pick = _conv_pick_tiles(plan.dftsize, odt_bytes)
-    if pick is None:
-        raise ValueError(
-            f"dftsize {plan.dftsize} has no VMEM-feasible spectra-kernel "
-            "tiling; use the XLA path (plan_supported is False)")
-    auto_k, auto_r = pick
-    K = tile_k if tile_k is not None else auto_k
-    R = super_r if super_r is not None else (auto_r if tile_k is None else 1)
-    if direct:
-        tables = (_spectra_tables_direct(plan, K, False)
-                  + _coarse_rows_host(plan, K))
-    else:
-        tables = (_spectra_tables_conv(plan, K, fold_conv, False)
-                  + _coarse_rows_host(plan, K))
+    K, R, tables = _toepconv_config(plan, out_dtype, tile_k, super_r,
+                                    fold_conv, direct)
     return _launch_spectra_conv(plan, state, samples, tables, interpret,
                                 K, R, "planar", out_dtype, fold_conv,
                                 False, direct, True)

@@ -561,8 +561,11 @@ def sharded_sdft(plan: Plan, mesh: Mesh, state: State, samples,
       use_pallas: None (default) auto-dispatches to the fused-kernel
         program (sharded_sdft_pallas) when the mesh is bins=1, the plan
         rides the Pallas fast path, and a TPU backend is attached —
-        mirroring api.sdft's dispatch; True forces it (raises when
-        infeasible), False forces the XLA scan program.
+        mirroring api.sdft's dispatch (and its accuracy class: the kernel
+        spectra carry the documented bf16-split contraction error, same
+        as unsharded api.sdft on TPU); True forces it (raises when
+        infeasible, including off-TPU backends), False forces the XLA
+        scan program.
 
     Returns:
       (new_state, dfts) with dfts packed (C, M, m, 2), sharded
@@ -577,6 +580,10 @@ def sharded_sdft(plan: Plan, mesh: Mesh, state: State, samples,
     if use_pallas is None:
         use_pallas = (ax["bins"] == 1 and pallas_supported()
                       and plan_supported(plan, M))
+    elif use_pallas and not pallas_supported():
+        raise ValueError("use_pallas=True requires a TPU backend "
+                         "(Mosaic kernels); use sharded_sdft_pallas("
+                         "interpret=True) for CPU testing")
     if use_pallas:
         return sharded_sdft_pallas(plan, mesh, state, samples)
     return _sharded_sdft_jit(plan, mesh, state, samples)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["magnitude_db", "spectrogram", "compare_spectrograms"]
+__all__ = ["magnitude_db", "power_db", "spectrogram", "compare_spectrograms"]
 
 #: Floor added before the log so silent bins render at a finite dB level.
 _EPS = 1e-12
