@@ -165,7 +165,8 @@ def roundtrip(plan: Plan, state: State, samples, transform=None
 
 
 def roundtrip_hopped(plan: Plan, state: State, blocks, hop: int,
-                     refresh_every: int | None = 1
+                     refresh_every: int | None = 1,
+                     k_tile: int | None = None
                      ) -> tuple[State, jax.Array, jax.Array]:
     """Chained driver-protocol segment: hop-dfts + synthesized samples for a
     stack of blocks in ONE compiled program (one dispatch, one fetch).
@@ -180,6 +181,9 @@ def roundtrip_hopped(plan: Plan, state: State, blocks, hop: int,
         ``hop``.
       hop: hop size in samples.
       refresh_every: accumulator refresh cadence in blocks (None = off).
+      k_tile: tile-length tuning knob — for hop < 8 it sets the multi-hop
+        tile TARGET (default 8; sub = ceil(k_tile/hop) inner hops per
+        tile); unused for hop >= 8 (tiles are the hop itself).
 
     Returns:
       (new_state, hop_dfts, ys): hop_dfts packed (nb, B//hop, m, 2)
@@ -192,7 +196,7 @@ def roundtrip_hopped(plan: Plan, state: State, blocks, hop: int,
     if blocks.shape[-1] % hop:
         raise ValueError(f"block length {blocks.shape[-1]} must be a "
                          f"multiple of hop {hop}")
-    return roundtrip_hopped_chain(plan, state, blocks, hop, None,
+    return roundtrip_hopped_chain(plan, state, blocks, hop, k_tile,
                                   refresh_every)
 
 

@@ -14,10 +14,12 @@ Extra optional flags (after the 7 positionals):
   --fd32        use float32 frequency-domain math (TPU fast path)
   --block N     process N-sample blocks internally instead of per-hop calls
                 (identical output by chunking invariance; much faster on TPU)
-  --mesh CxTxB  run the driver's analysis/synthesis over a
-                (channel, time, bins) device mesh (sdft_tpu.parallel) —
+  --mesh CxTxB  run the driver over a (channel, time, bins) device mesh
+                (sdft_tpu.parallel.sharded_roundtrip_hopped: ONE fused
+                sharded program per segment — hop spectra + synthesis from
+                a shared comb/totals pass, blocks chained in a lax.scan) —
                 C must be 1 (the driver is mono), T*B <= device count.
-                Blocks default to hop*T rounded up to >= 16000 samples
+                Blocks default to tile*T rounded up to >= 16000 samples
                 (same output as the single-device path by shard-count and
                 chunking invariance).
 """
@@ -88,16 +90,20 @@ def main(argv=None) -> int:
     # default block: >= 16k samples per chained step — the per-step cost of
     # the fused driver body is mostly fixed (~16 us on the hosted chip), so
     # hop-sized blocks leave 3-4x throughput on the table (measured 235M
-    # samples/s at 4000-sample blocks vs 785M at 16000, docs/PERF.md)
-    unit = hopsize * nt_mesh
+    # samples/s at 4000-sample blocks vs 785M at 16000, docs/PERF.md).
+    # Degenerate hops (< 8) run hop*sub multi-hop tiles (ops.lti).
+    from .ops.lti import driver_sub_factor
+
+    tile = hopsize * driver_sub_factor(hopsize)
+    unit = tile * nt_mesh
     block = unit * max(1, -(-16000 // unit))
     if "--block" in extras:
         block = int(extras[extras.index("--block") + 1])
     if block % hopsize:
         raise SystemExit(f"--block {block} must be a multiple of hopsize {hopsize}")
-    if block % (hopsize * nt_mesh):
+    if mesh is not None and block % unit:
         raise SystemExit(f"--block {block} must be a multiple of "
-                         f"hop*T = {hopsize * nt_mesh} under --mesh")
+                         f"tile*T = {unit} under --mesh")
 
     precision = Precision(td="float32" if fd == "float32" else "float64", fd=fd)
     plan = Plan(dftsize, window=window, latency=latency, precision=precision)
@@ -111,22 +117,28 @@ def main(argv=None) -> int:
     hop_dfts = []
     t0 = time.perf_counter()
     if mesh is not None:
-        from .parallel import sharded_roundtrip, sharded_sdft_hopped
+        # ONE fused sharded program per segment (a lax.scan of fused
+        # driver blocks inside one shard_map): hop spectra AND synthesis
+        # share the comb/delta and totals passes — the sharded counterpart
+        # of the single-device segment path below, against the old
+        # two-programs-per-block loop (VERDICT r4 weak #4)
+        from .parallel import sharded_roundtrip_hopped
 
         state = init_state(plan, channels=1)
         progress = 0
         mesh_size = (size // block) * block  # whole sharded blocks
-        for i in range(0, mesh_size, block):
-            blk = x[i:i + block]
-            # each hop's first DFT vector (test/test.c:82) comes from the
-            # hopped analysis — skipped spectra are never computed — and the
-            # synthesized samples from the collapsed round trip; both read
-            # the same in-state, the round trip's out-state carries on.
-            _, hdfts = sharded_sdft_hopped(plan, mesh, state, blk[None], hopsize)
-            state, y = sharded_roundtrip(plan, mesh, state, blk[None])
-            ys.append(np.asarray(y[0]))
-            hop_dfts.append(to_complex(np.asarray(hdfts[0])))
-            percent = min(i + block, mesh_size) / size
+        nb = int(min(32, max(1, mesh_size // block)))
+        seg = nb * block
+        for i in range(0, mesh_size, seg):
+            chunk = x[i:i + seg]
+            nb_i = chunk.size // block
+            xs = chunk[:nb_i * block].reshape(nb_i, 1, block)
+            state, hd, yy = sharded_roundtrip_hopped(plan, mesh, state, xs,
+                                                     hopsize)
+            ys.append(np.asarray(yy).reshape(-1))
+            hop_dfts.append(
+                to_complex(np.asarray(hd).reshape(-1, dftsize, 2)))
+            percent = min(i + seg, mesh_size) / size
             if int(percent * 10) != progress:
                 progress = int(percent * 10)
                 print(f"{progress * 10}%")

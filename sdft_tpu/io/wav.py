@@ -11,23 +11,71 @@ loops per frame; at 350k frames that matters for test latency).
 
 from __future__ import annotations
 
+import struct
 import wave
 
 import numpy as np
 
 
+def _read_float_wav(path: str):
+    """Minimal RIFF walker for IEEE-float WAVs (format tag 3, or
+    WAVE_FORMAT_EXTENSIBLE wrapping it) — the reference's dr_wav reads
+    these (test/wav.h:38-91); Python's ``wave`` rejects format 3 loudly.
+    Returns (data float64 (n, C) passthrough — float samples carry no
+    half-step quantization convention — samplerate)."""
+    with open(path, "rb") as f:
+        riff, _, wave_id = struct.unpack("<4sI4s", f.read(12))
+        if riff != b"RIFF" or wave_id != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        fmt = None
+        data = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, size = struct.unpack("<4sI", hdr)
+            body = f.read(size + (size & 1))[:size]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+    if fmt is None or data is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    tag, channels, sr, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE and len(fmt) >= 40:   # extensible: first GUID word
+        tag = struct.unpack("<H", fmt[24:26])[0]
+    if tag != 3:
+        raise ValueError(f"{path}: unsupported WAV format tag {tag}")
+    if bits == 32:
+        arr = np.frombuffer(data, dtype="<f4")
+    elif bits == 64:
+        arr = np.frombuffer(data, dtype="<f8")
+    else:
+        raise ValueError(f"{path}: unsupported float width {bits}")
+    n = arr.size // channels
+    return arr[:n * channels].astype(np.float64).reshape(n, channels), sr
+
+
 def read_wav(path: str, mono: bool = True):
-    """Read a WAV file.
+    """Read a WAV file — integer PCM at 8/16/24/32 bits via the stdlib
+    reader, or IEEE-float (format 3, 32/64-bit) via the RIFF fallback.
 
     Returns:
       (samples, samplerate) where samples is float64 in [-1, 1], shape (n,)
       when ``mono`` (mean-mix across channels, test/wav.py:28) else (n, C).
     """
-    with wave.open(path, "rb") as f:
-        sr = f.getframerate()
-        width = f.getsampwidth()
-        channels = f.getnchannels()
-        raw = f.readframes(f.getnframes())
+    try:
+        with wave.open(path, "rb") as f:
+            sr = f.getframerate()
+            width = f.getsampwidth()
+            channels = f.getnchannels()
+            raw = f.readframes(f.getnframes())
+    except wave.Error:
+        data, sr = _read_float_wav(path)
+        data = np.clip(data, -1.0, 1.0)
+        if mono:
+            data = data.mean(axis=-1)
+        return data, sr
 
     if width not in (1, 2, 3, 4):
         raise ValueError(f"unsupported sample width {width}")

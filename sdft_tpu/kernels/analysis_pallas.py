@@ -733,7 +733,8 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
                          fold_conv: bool, manual_out: bool = False,
                          n_out: int = 0, n_steps: int = 0,
                          lean: bool = False, direct: bool = False,
-                         power: bool = False, dma_tables: bool = True):
+                         power: bool = False, dma_tables: bool = True,
+                         dmf_shadow: bool = False, dots_bf16: bool = False):
     """Super-tiled stateless spectra step: R tiles of K samples per step,
     ONE (R*K, 3K) @ (3K, 2W) bf16-split contraction — the Toeplitz depth K
     (MXU work per sample) is decoupled from the R*K samples each grid step
@@ -771,6 +772,9 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
 
     t = pl.program_id(0)
     oscr_re = oscr_im = osems = None
+    # roofline-probe scratch (exp_r5_roofline): per-subtile shadow planes
+    # read with a runtime-zero coefficient — adds ONLY VMEM read traffic
+    sh_re, sh_im = (refs[-2], refs[-1]) if dmf_shadow else (None, None)
     nt_tab = 4 if direct else 3
     n_outs = 1 if power else 2
     if dma_tables:
@@ -799,6 +803,13 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
             for idx in range(nt_tab):
                 pltpu.make_async_copy(hbm_tables[idx], scratch_tables[idx],
                                       sems.at[idx]).wait()
+            if dmf_shadow:
+                # distinct per-subtile slices so the reads cannot CSE
+                for r_ in range(super_r):
+                    sh_re[pl.ds(r_ * K, K), :] = scratch_tables[0][
+                        ...].astype(jnp.float32)
+                    sh_im[pl.ds(r_ * K, K), :] = scratch_tables[1][
+                        ...].astype(jnp.float32)
     else:
         dmf_re, dmf_im, b_conv = refs[:3]
         b_conv2 = refs[3] if direct else None
@@ -854,7 +865,10 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
                             preferred_element_type=jnp.float32),
                     jnp.dot(A_r, b_conv2[:],
                             preferred_element_type=jnp.float32))
-        return jnp.dot(A_r, b_conv[:], preferred_element_type=jnp.float32)
+        d = jnp.dot(A_r, b_conv[:], preferred_element_type=jnp.float32)
+        # roofline probe: round the dots temp to bf16 at the matmul store
+        # (f32 MXU accumulate, halved temp traffic IF Mosaic fuses the cast)
+        return d.astype(jnp.bfloat16) if dots_bf16 else d
 
     def carry_rows(base):
         """Convolved-domain carry factors D_re, D_im from the packed
@@ -903,8 +917,14 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
             d_re, d_im = carry_rows(base)
             out_re = dsub[:, :W].astype(jnp.float32) + (mre * d_re
                                                         - mim * d_im)
-            out_im = dsub[:, W:].astype(jnp.float32) + (mre * d_im
-                                                        + mim * d_re)
+            out_im = dsub[:, W:2 * W].astype(jnp.float32) + (mre * d_im
+                                                             + mim * d_re)
+            if dmf_shadow:
+                z = phi_ref[0, 127]          # runtime zero, opaque to Mosaic
+                out_re = out_re + z * sh_re[pl.ds(r * K, K), :].astype(
+                    jnp.float32)
+                out_im = out_im + z * sh_im[pl.ds(r * K, K), :].astype(
+                    jnp.float32)
             out_re = out_re[:, PAD:PAD + m]
             out_im = out_im[:, PAD:PAD + m]
         else:
@@ -912,8 +932,14 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
             c_im = crows_ref[base + 1:base + 2, :]
             aux_re = dsub[:, :W].astype(jnp.float32) + (c_re * mre
                                                         - c_im * mim)
-            aux_im = dsub[:, W:].astype(jnp.float32) + (c_re * mim
-                                                       + c_im * mre)
+            aux_im = dsub[:, W:2 * W].astype(jnp.float32) + (c_re * mim
+                                                             + c_im * mre)
+            if dmf_shadow:
+                z = phi_ref[0, 127]          # runtime zero, opaque to Mosaic
+                aux_re = aux_re + z * sh_re[pl.ds(r * K, K), :].astype(
+                    jnp.float32)
+                aux_im = aux_im + z * sh_im[pl.ds(r * K, K), :].astype(
+                    jnp.float32)
             out_re = conv(aux_re)
             out_im = conv(aux_im)
             if plan.roi is not None:
@@ -1244,13 +1270,14 @@ def _conv_pick_tiles(m: int, out_bytes: int) -> tuple[int, int] | None:
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(0, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+                   static_argnums=(0, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
 def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
                          interpret: bool = False, tile_k: int = CONV_TILE_K,
                          super_r: int = CONV_SUPER_R, layout: str = "packed",
                          out_dtype: str | None = None,
                          fold_conv: bool = True, lean: bool = False,
-                         direct: bool = False, power: bool = False):
+                         direct: bool = False, power: bool = False,
+                         dmf_shadow: bool = False, dots_bf16: bool = False):
     """Forward spectra via the conv-folded hoisted-Toeplitz kernel.
 
     Same hoisting strategy as _launch_spectra_toeplitz (all sequential
@@ -1361,7 +1388,9 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
             scratch = [                                # DMAs at t==0
                 pltpu.VMEM((K, W), ddt),               # dmf re
                 pltpu.VMEM((K, W), ddt),               # dmf im
-                pltpu.VMEM((3 * K, 2 * W), jnp.bfloat16),  # stacked conv B
+                # shape from the table itself: the roofline probe widens
+                # b_conv with junk columns to inflate ONLY the dots temp
+                pltpu.VMEM(tuple(b_c1.shape), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((3,)),
             ]
         if manual_out:
@@ -1376,12 +1405,17 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
         else:
             out_specs = (pl.BlockSpec((R * K, m), lambda t: (t, 0),
                                       memory_space=pltpu.VMEM),) * 2
+        if dmf_shadow:
+            scratch += [pltpu.VMEM((R * K, W), jnp.float32),
+                        pltpu.VMEM((R * K, W), jnp.float32)]
     kernel = functools.partial(_kernel_spectra_conv, plan=plan, tile_k=K,
                                super_r=R, nfixed=halo, crow_stride=stride,
                                fold_conv=fold_conv, manual_out=manual_out,
                                n_out=M, n_steps=nts, lean=lean,
                                direct=direct, power=power,
-                               dma_tables=not interpret)
+                               dma_tables=not interpret,
+                               dmf_shadow=dmf_shadow and not interpret,
+                               dots_bf16=dots_bf16)
     table_inputs = ((dmf_re, dmf_im, b_c1, b_c2) if direct
                     else (dmf_re, dmf_im, b_c1))
     n_outs = 1 if power else 2
@@ -1551,19 +1585,31 @@ def _toepconv_config(plan: Plan, out_dtype, tile_k, super_r, fold_conv,
     """Resolve the super-tiled kernel's (K, R, tables) for an output
     element type — shared by forward_block_pallas and forward_block_power
     so the tiling heuristics and table selection cannot drift apart."""
+    m = plan.dftsize
     odt_bytes = 2 if out_dtype == "bfloat16" else 4
-    pick = _conv_pick_tiles(plan.dftsize, odt_bytes)
+    pick = _conv_pick_tiles(m, odt_bytes)
     if pick is None:
         # No VMEM-feasible configuration: refuse loudly rather than
         # silently falling back to toephoist (which has no ROI support
         # and its own VMEM hazard).  plan_supported reports this case
         # False, so api dispatch routes to XLA instead.
         raise ValueError(
-            f"dftsize {plan.dftsize} has no VMEM-feasible spectra-"
+            f"dftsize {m} has no VMEM-feasible spectra-"
             "kernel tiling; use the XLA path (plan_supported is False)")
     auto_k, auto_r = pick
     K = tile_k if tile_k is not None else auto_k
     R = super_r if super_r is not None else (auto_r if tile_k is None else 1)
+    if (K, R) != pick:
+        # a user-specified configuration gets the same VMEM-budget check
+        # as the auto pick — a loud ValueError beats an opaque Mosaic
+        # VMEM allocation failure deep in compilation (ADVICE r4 #3)
+        W = _round_up(m, 128) + 2 * PAD
+        est = 20 * K * W + 8 * R * K * W + 4 * R * K * m * odt_bytes
+        if est > 80 * 1024 * 1024:
+            raise ValueError(
+                f"spectra-kernel tiling tile_k={K}, super_r={R} needs "
+                f"~{est / 2**20:.0f} MB of VMEM at dftsize {m} "
+                "(budget 80 MB); lower tile_k/super_r or leave them unset")
     if direct:
         tables = (_spectra_tables_direct(plan, K, lean)
                   + _coarse_rows_host(plan, K))
@@ -1607,34 +1653,11 @@ def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
         cumsum_mode = "toepconv"
         tile_k = None
     if cumsum_mode == "toepconv":
-        odt_bytes = 2 if out_dtype == "bfloat16" else 4
-        pick = _conv_pick_tiles(plan.dftsize, odt_bytes)
-        if pick is None:
-            # No VMEM-feasible configuration: refuse loudly rather than
-            # silently falling back to toephoist (which has no ROI support
-            # and its own VMEM hazard at these sizes).  plan_supported
-            # reports this case False, so api.sdft routes to XLA instead.
-            raise ValueError(
-                f"dftsize {plan.dftsize} has no VMEM-feasible spectra-"
-                "kernel tiling; use the XLA path (plan_supported is False)")
-        else:
-            auto_k, auto_r = pick
-            K = tile_k if tile_k is not None else auto_k
-            R = super_r if super_r is not None else (auto_r if tile_k is None
-                                                    else 1)
-            # "lean" bf16 tables measured NO speedup and 2x error
-            # (docs/PERF.md round-4) — plumbing kept for re-measurement,
-            # default off
-            lean = False
-            if direct:
-                tables = (_spectra_tables_direct(plan, K, lean)
-                          + _coarse_rows_host(plan, K))
-            else:
-                tables = (_spectra_tables_conv(plan, K, fold_conv, lean)
-                          + _coarse_rows_host(plan, K))
-            return _launch_spectra_conv(plan, state, samples, tables,
-                                        interpret, K, R, layout, out_dtype,
-                                        fold_conv, lean, direct)
+        K, R, tables = _toepconv_config(plan, out_dtype, tile_k, super_r,
+                                        fold_conv, direct)
+        return _launch_spectra_conv(plan, state, samples, tables,
+                                    interpret, K, R, layout, out_dtype,
+                                    fold_conv, False, direct)
     if cumsum_mode == "toephoist":
         if tile_k is None:
             tile_k = SPECTRA_TILE_K  # measured optimum for this kernel

@@ -165,6 +165,51 @@ def _hop_consts_device(plan: Plan, hop: int, fd: str):
         return tuple(jnp.asarray(a, fd) for a in _fine_host(plan, hop))
 
 
+@functools.lru_cache(maxsize=None)
+def _stepped_consts_device(plan: Plan, hop: int, sub: int, fd: str):
+    """Tables for the degenerate-hop (hop < 8) fused driver: tiles of
+    K = hop*sub samples emit ``sub`` hop spectra each, so the GEMMs keep a
+    usable contraction depth at 1-sample hops (the reference's founding
+    efficiency claim, /root/reference/README.md:18).
+
+    Returns (sf_re, sf_im, dr_re, dr_im):
+
+      * sf (K, sub*m): column-stacked INCLUSIVE partial fine tables
+        sf[k, j*m + i] = fine[k, i] * [k <= j*hop] for j = 0..sub-1 —
+        one GEMM dt @ sf yields every inner hop's partial totals
+        ptotals_j = sum_{k <= j*hop} delta[k] * T_i^k (the inclusive mask
+        absorbs the hop-start delta d0_j WITH its fine[j*hop] phase, so
+        ptotals_j * dr_j lands d0_j on conj(T_i) exactly as the sub == 1
+        identity requires);
+      * dr (sub, m): the inner demod rows T_i^-(j*hop + 1) — the spectrum
+        at inner hop j is (c0 + ptotals_j) * dr_j (exact integer phases,
+        same construction as _exact_phase_row).
+    """
+    m = plan.dftsize
+    n2 = 2 * m
+    K = hop * sub
+    fre, fim = _fine_host(plan, K)
+    if plan.roi is not None:
+        # the accumulate mask folds into the partial-totals columns,
+        # matching _lti_constants' masked fine tables
+        first, last = plan.roi
+        rm = ((np.arange(m) >= first) & (np.arange(m) < last)).astype(float)
+        fre = fre * rm
+        fim = fim * rm
+    k = np.arange(K)[:, None]
+    cols = [np.concatenate([fre * (k <= j * hop), fim * (k <= j * hop)],
+                           axis=0) for j in range(sub)]
+    sf = np.concatenate(cols, axis=1)
+    sf_re, sf_im = sf[:K], sf[K:]
+    i = np.arange(m)
+    e = (-(np.arange(sub) * hop + 1)) % n2
+    r = (e[:, None] * i[None, :]) % n2
+    ang = (-np.pi / m) * r
+    with jax.ensure_compile_time_eval():
+        return tuple(jnp.asarray(a, fd) for a in
+                     (sf_re, sf_im, np.cos(ang), np.sin(ang)))
+
+
 def _bf16_split_host(a):
     """Masked bf16 hi+lo split of a host array (hi+lo == f32(a) to ~2^-17).
 
@@ -588,7 +633,7 @@ def _driver_segment_jit(plan: Plan, state: State, xs, consts, hop: int):
 
 
 def _fused_driver_nd(plan: Plan, state: State, samples: jnp.ndarray,
-                     lti_consts, hop: int, refresh: bool):
+                     lti_consts, hop: int, refresh: bool, sub: int = 1):
     """One block of the reference driver protocol (test/test.c:69-83) as a
     SINGLE fused pass: hop-rate spectra + synthesized samples + optional
     accumulator refresh, sharing one comb/delta stage, one pair of totals
@@ -606,13 +651,26 @@ def _fused_driver_nd(plan: Plan, state: State, samples: jnp.ndarray,
     delta/GEMM/prefix pipeline (VERDICT r3 weak#2: the old chain ran
     _hopped_nd and _roundtrip_nd back-to-back and hoped XLA CSE would
     merge them).
+
+    ``sub > 1`` generalizes to DEGENERATE hops (hop < 8): tiles of
+    K = hop*sub samples emit ``sub`` spectra each.  The inner hop j's
+    carry extends the identity by the tile-local partial totals
+    (one extra GEMM against the stepped table, _stepped_consts_device):
+
+        aux_{t,j}[i] = (c0_t[i] + ptotals_j[i] + d0_{t,j}) * T_i^-(j*hop+1)
+
+    so 1-sample hops (the reference's founding efficiency claim,
+    /root/reference/README.md:18) keep full-depth GEMMs instead of
+    (nt, 1) @ (1, m) matvecs that Mosaic/XLA pad to whole MXU tiles.
     """
     m = plan.dftsize
     n2 = 2 * m
     td = plan.precision.td_dtype
     fd = plan.precision.fd_dtype
     C, M = samples.shape
-    K = hop
+    if sub > 1:
+        lti_consts, stepped = lti_consts
+    K = hop * sub
     nt = -(-M // K)
     Mp = nt * K
 
@@ -670,23 +728,39 @@ def _fused_driver_nd(plan: Plan, state: State, samples: jnp.ndarray,
              + jnp.dot(c0_im, Q.T, precision=hi, preferred_element_type=fd))
     y = y.reshape(C, Mp)[:, :M].astype(td)
 
-    # hopped analysis leg: aux = (c0 + d0) * conj(T_i), then window conv
-    d0 = dt[:, :, 0].astype(fd)[..., None]
+    # hopped analysis leg: aux = (c0 + ptotals + d0) * demod, window conv
+    roi_mask = None
     if plan.roi is not None:
         first, last = plan.roi
         roi_mask = jnp.asarray(
             (np.arange(m) >= first) & (np.arange(m) < last), fd)
-        d0 = d0 * roi_mask
-    cb_re, cb_im = _exact_phase_row(
-        plan, -jnp.ones((1,), jnp.int32), fd)            # conj(T_i) row
-    u_re = c0_re + d0
-    u_im = c0_im
-    aux_re = u_re * cb_re - u_im * cb_im
-    aux_im = u_re * cb_im + u_im * cb_re
+    if sub == 1:
+        d0 = dt[:, :, 0].astype(fd)[..., None]
+        if roi_mask is not None:
+            d0 = d0 * roi_mask
+        cb_re, cb_im = _exact_phase_row(
+            plan, -jnp.ones((1,), jnp.int32), fd)        # conj(T_i) row
+        u_re = c0_re + d0
+        u_im = c0_im
+        aux_re = u_re * cb_re - u_im * cb_im
+        aux_im = u_re * cb_im + u_im * cb_re
+    else:
+        sf_re, sf_im, dr_re, dr_im = stepped
+        pt_re = jnp.dot(dt, sf_re, precision=hi,
+                        preferred_element_type=fd).reshape(C, nt, sub, m)
+        pt_im = jnp.dot(dt, sf_im, precision=hi,
+                        preferred_element_type=fd).reshape(C, nt, sub, m)
+        u_re = c0_re[:, :, None, :] + pt_re
+        u_im = c0_im[:, :, None, :] + pt_im
+        aux_re = (u_re * dr_re - u_im * dr_im).reshape(C, nt * sub, m)
+        aux_im = (u_re * dr_im + u_im * dr_re).reshape(C, nt * sub, m)
+        nh = -(-M // hop)
+        aux_re = aux_re[:, :nh]
+        aux_im = aux_im[:, :nh]
     from .convolve import window_convolve
     out = window_convolve(plan, (aux_re + 1j * aux_im).astype(
         plan.precision.fdx_dtype))
-    if plan.roi is not None:
+    if roi_mask is not None:
         out = out * roi_mask.astype(out.dtype)
     hop_dfts = pack(out)
 
@@ -700,10 +774,32 @@ def _fused_driver_nd(plan: Plan, state: State, samples: jnp.ndarray,
     return new_state, hop_dfts, y
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _fused_driver_jit(plan: Plan, state: State, samples, consts, hop: int,
-                      refresh: bool):
-    return _fused_driver_nd(plan, state, samples, consts, hop, refresh)
+                      refresh: bool, sub: int = 1):
+    return _fused_driver_nd(plan, state, samples, consts, hop, refresh, sub)
+
+
+def _fused_driver_consts(plan: Plan, hop: int, sub: int):
+    """Device consts for the fused driver at tile K = hop*sub (the
+    (split4?, stepped?) packing _fused_driver_nd expects)."""
+    fd = str(plan.precision.fd_dtype)
+    K = hop * sub
+    if (plan.precision.resolve().mxu == "split4"
+            and plan.precision.resolve().fd == "float32"):
+        base = (_lti_consts_split_device(plan, K),
+                _lti_consts_device(plan, K, fd))
+    else:
+        base = _lti_consts_device(plan, K, fd)
+    if sub == 1:
+        return base
+    return (base, _stepped_consts_device(plan, hop, sub, fd))
+
+
+def driver_sub_factor(hop: int, tile_target: int = 8) -> int:
+    """Inner-hop multiplicity for degenerate hops: the smallest ``sub``
+    with hop*sub >= tile_target (1 for hop >= tile_target)."""
+    return max(1, -(-tile_target // hop))
 
 
 def roundtrip_hopped_block(plan: Plan, state: State, samples: jnp.ndarray,
@@ -711,21 +807,17 @@ def roundtrip_hopped_block(plan: Plan, state: State, samples: jnp.ndarray,
     """Fused single-block driver protocol: (state, hop_dfts, y) — the
     hop-rate spectra AND the synthesized round trip of one block in one
     pass (see _fused_driver_nd).  ``refresh`` exactly rebuilds the carried
-    accumulator from the delayline before returning (drift-free streams)."""
+    accumulator from the delayline before returning (drift-free streams).
+    Degenerate hops (< 8) take multi-hop tiles automatically."""
     samples = jnp.asarray(samples)
-    fd = str(plan.precision.fd_dtype)
-    if (plan.precision.resolve().mxu == "split4"
-            and plan.precision.resolve().fd == "float32"):
-        consts = (_lti_consts_split_device(plan, hop),
-                  _lti_consts_device(plan, hop, fd))
-    else:
-        consts = _lti_consts_device(plan, hop, fd)
+    sub = driver_sub_factor(hop)
+    consts = _fused_driver_consts(plan, hop, sub)
     if samples.ndim == 1:
         st = jax.tree.map(lambda a: a[None], state)
         new_st, hd, y = _fused_driver_jit(plan, st, samples[None], consts,
-                                          hop, refresh)
+                                          hop, refresh, sub)
         return jax.tree.map(lambda a: a[0], new_st), hd[0], y[0]
-    return _fused_driver_jit(plan, state, samples, consts, hop, refresh)
+    return _fused_driver_jit(plan, state, samples, consts, hop, refresh, sub)
 
 
 def roundtrip_hopped_chain(plan: Plan, state: State, xs: jnp.ndarray,
@@ -779,6 +871,19 @@ def roundtrip_hopped_chain(plan: Plan, state: State, xs: jnp.ndarray,
                    _lti_consts_device(plan, hop, fd)) if split4
                   else _lti_consts_device(plan, hop, fd))
         if segment:
+            if xs.shape[-1] % hop:
+                # _driver_segment_nd's batched tile reshape requires whole
+                # hops per block (the scan body zero-pads instead)
+                raise ValueError(
+                    f"segment=True requires block length ({xs.shape[-1]}) "
+                    f"to be a multiple of hop ({hop})")
+            if refresh_every not in (None, 1):
+                # the batched segment rebuilds every block's accumulator
+                # from the stream by construction — a coarser cadence is
+                # not expressible there
+                raise ValueError(
+                    "segment=True refreshes every block by construction; "
+                    "refresh_every must be None or 1")
             if xs.ndim == 2:
                 st = jax.tree.map(lambda a: a[None], state)
                 st, hd, ys = _driver_segment_jit(plan, st, xs[:, None],
@@ -787,16 +892,20 @@ def roundtrip_hopped_chain(plan: Plan, state: State, xs: jnp.ndarray,
             st, hd, ys = _driver_segment_jit(plan, state, xs, consts, hop)
             return (st, jnp.moveaxis(hd, 0, 1), jnp.moveaxis(ys, 0, 1))
         return _chain_fused_jit(plan, state, xs, consts, hop, refresh_every)
-    # degenerate hops (tiles of < 8 samples would starve the GEMMs): legacy
-    # two-pass body with independent round-trip tiling
-    K = k_tile or default_k_tile(xs.shape[-1])
-    if split4:
-        lti_consts = _lti_consts_split_device(plan, K)
-    else:
-        lti_consts = _lti_consts_device(plan, K, fd)
-    hop_consts = _hop_consts_device(plan, hop, fd)
-    return _chain_jit(plan, state, xs, lti_consts, hop_consts, hop, K,
-                      refresh_every)
+    # degenerate hops (hop < 8): the same fused body over multi-hop tiles
+    # of K = hop*sub samples, each emitting ``sub`` spectra (the stepped
+    # partial-totals GEMM, _stepped_consts_device) — tiles of < 8 samples
+    # would starve the GEMMs (Mosaic/XLA pad skinny contractions to whole
+    # MXU tiles).  ``k_tile`` here sets the TILE TARGET (default 8): sub =
+    # ceil(k_tile/hop).
+    if xs.shape[-1] % hop:
+        raise ValueError(
+            f"block length ({xs.shape[-1]}) must be a multiple of the "
+            f"hop ({hop})")
+    sub = driver_sub_factor(hop, k_tile or 8)
+    consts = _fused_driver_consts(plan, hop, sub)
+    return _chain_fused_jit(plan, state, xs, consts, hop, refresh_every,
+                            sub)
 
 
 def _chain_refresh(plan: Plan, refresh_every, body_out_state, since):
@@ -818,54 +927,22 @@ def _chain_refresh(plan: Plan, refresh_every, body_out_state, since):
     return st, since
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _chain_fused_jit(plan: Plan, state: State, xs, consts, hop: int,
-                     refresh_every: int | None):
+                     refresh_every: int | None, sub: int = 1):
     def body(carry, x):
         st, since = carry
         refresh = refresh_every == 1
         if x.ndim == 1:
             stb = jax.tree.map(lambda a: a[None], st)
             stb, hd, y = _fused_driver_nd(plan, stb, x[None], consts, hop,
-                                          refresh)
+                                          refresh, sub)
             st, hd, y = jax.tree.map(lambda a: a[0], stb), hd[0], y[0]
         else:
-            st, hd, y = _fused_driver_nd(plan, st, x, consts, hop, refresh)
+            st, hd, y = _fused_driver_nd(plan, st, x, consts, hop, refresh,
+                                         sub)
         if refresh_every in (None, 1):
             return (st, since), (hd, y)
-        st, since = _chain_refresh(plan, refresh_every, st, since)
-        return (st, since), (hd, y)
-
-    (state, _), (hdfts, ys) = jax.lax.scan(
-        body, (state, jnp.zeros((), jnp.int32)), xs)
-    return state, hdfts, ys
-
-
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
-def _chain_jit(plan: Plan, state: State, xs, lti_consts, hop_consts,
-               hop: int, k_tile: int, refresh_every: int | None):
-    from .analysis import refresh_state
-
-    def _refresh(st: State) -> State:
-        if st.offset.ndim == 0:
-            return refresh_state(plan, st)
-        return jax.vmap(lambda s: refresh_state(plan, s))(st)
-
-    def _batched(fn, st, x, *args):
-        if x.ndim == 1:
-            stb = jax.tree.map(lambda a: a[None], st)
-            new_st, out = fn(plan, stb, x[None], *args)
-            return jax.tree.map(lambda a: a[0], new_st), out[0]
-        return fn(plan, st, x, *args)
-
-    def body(carry, x):
-        st, since = carry
-        _, hd = _batched(_hopped_nd, st, x, hop_consts, hop)
-        st, y = _batched(_roundtrip_nd, st, x, lti_consts, k_tile)
-        if refresh_every is None:
-            return (st, since), (hd, y)
-        if refresh_every == 1:
-            return (_refresh(st), since), (hd, y)
         st, since = _chain_refresh(plan, refresh_every, st, since)
         return (st, since), (hd, y)
 

@@ -6,6 +6,7 @@ from .sharded import (
     STATE_SPECS,
     sharded_isdft,
     sharded_roundtrip,
+    sharded_roundtrip_hopped,
     sharded_sdft,
     sharded_sdft_pallas,
     sharded_sdft_hopped,
@@ -22,6 +23,7 @@ __all__ = [
     "sharded_sdft_hopped",
     "sharded_isdft",
     "sharded_roundtrip",
+    "sharded_roundtrip_hopped",
     "state_sharding",
     "STATE_SPECS",
     "SAMPLE_SPEC",

@@ -119,3 +119,33 @@ def test_wav_bit_depths_roundtrip(tmp_path):
         y, sr = read_wav(p)
         assert sr == 44100
         np.testing.assert_allclose(y, x, atol=tol)
+
+
+def test_wav_ieee_float_read(tmp_path):
+    """IEEE-float WAVs (format tag 3) read through the RIFF fallback —
+    the reference's dr_wav accepts these (test/wav.h:38-91); Python's
+    ``wave`` module rejects them."""
+    import struct
+
+    rng = np.random.default_rng(5)
+    x = np.clip(rng.standard_normal((256, 2)), -1, 1)
+
+    def write_float_wav(path, data, sr, dtype, bits):
+        raw = data.astype(dtype).tobytes()
+        c = data.shape[1]
+        fmt = struct.pack("<HHIIHH", 3, c, sr, sr * c * bits // 8,
+                          c * bits // 8, bits)
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(raw)) + raw)
+        with open(path, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE")
+            f.write(body)
+
+    for dtype, bits, tol in (("<f4", 32, 1e-7), ("<f8", 64, 0)):
+        p = str(tmp_path / f"float{bits}.wav")
+        write_float_wav(p, x, 48000, dtype, bits)
+        y, sr = read_wav(p, mono=False)
+        assert sr == 48000
+        np.testing.assert_allclose(y, x, atol=tol)
+        ym, _ = read_wav(p)
+        np.testing.assert_allclose(ym, x.mean(axis=-1), atol=tol)

@@ -238,6 +238,70 @@ def test_roundtrip_hopped_chain_matches_blockwise():
                                    np.asarray(st_ref.delayline), atol=0)
 
 
+@pytest.mark.parametrize("hop", [1, 2, 3, 5, 7])
+def test_roundtrip_hopped_chain_degenerate_hops(hop):
+    """hop < 8 routes through the multi-hop-tile fused body (the stepped
+    partial-totals GEMM) and must equal the per-block composition of
+    sdft_hopped + roundtrip — the reference's founding claim is efficiency
+    at 1-sample hops (/root/reference/README.md:18)."""
+    from sdft_tpu import roundtrip_hopped, sdft_hopped
+    from sdft_tpu.ops.analysis import refresh_state
+
+    plan = Plan(96, window="hann", precision=F64)
+    B, nb = hop * 16, 3
+    x = _signal(nb * B, seed=9)
+    xs = x.reshape(nb, B)
+
+    st_chain = init_state(plan)
+    st_chain, hd, ys = roundtrip_hopped(plan, st_chain, xs, hop)
+    assert hd.shape == (nb, B // hop, 96, 2)
+    assert ys.shape == (nb, B)
+
+    st_ref = init_state(plan)
+    for b in range(nb):
+        _, hd_b = sdft_hopped(plan, st_ref, xs[b], hop)
+        st_ref, y_b = roundtrip(plan, st_ref, xs[b])
+        st_ref = refresh_state(plan, st_ref)
+        np.testing.assert_allclose(np.asarray(hd[b]), np.asarray(hd_b),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ys[b]), np.asarray(y_b),
+                                   atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_chain.accumulator),
+                               np.asarray(st_ref.accumulator), atol=1e-12)
+
+
+def test_roundtrip_hopped_chain_hop1_roi_and_channels():
+    """Degenerate-hop path under ROI and channel batching; tile-target
+    tuning via k_tile changes nothing numerically."""
+    from sdft_tpu import roundtrip_hopped, sdft_hopped
+
+    plan = Plan(64, window="hamming", precision=F64, roi=(8, 40))
+    B, nb, C = 24, 2, 2
+    x = _signal(nb * C * B, seed=10).reshape(nb, C, B)
+
+    st = init_state(plan, channels=C)
+    st, hd, ys = roundtrip_hopped(plan, st, x, 1)
+    assert hd.shape == (nb, C, B, 64, 2)
+    import jax
+
+    from sdft_tpu.ops.analysis import refresh_state
+
+    st_ref = init_state(plan, channels=C)
+    for b in range(nb):
+        _, hd_b = sdft_hopped(plan, st_ref, x[b], 1)
+        st_ref, y_b = roundtrip(plan, st_ref, x[b])
+        st_ref = jax.vmap(lambda s: refresh_state(plan, s))(st_ref)
+        np.testing.assert_allclose(np.asarray(hd[b]), np.asarray(hd_b),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ys[b]), np.asarray(y_b),
+                                   atol=1e-12)
+
+    st2 = init_state(plan, channels=C)
+    _, hd2, ys2 = roundtrip_hopped(plan, st2, x, 1, k_tile=16)
+    np.testing.assert_allclose(np.asarray(hd2), np.asarray(hd), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(ys2), np.asarray(ys), atol=1e-13)
+
+
 def test_roundtrip_hopped_chain_batched_channels():
     from sdft_tpu import roundtrip_hopped
 

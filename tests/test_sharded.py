@@ -259,6 +259,65 @@ def test_sharded_hopped_matches_unsharded():
                                    np.asarray(st_ref.accumulator), atol=1e-12)
 
 
+def test_sharded_roundtrip_hopped_matches_unsharded():
+    """The fused sharded driver chain (ONE program per segment: hop spectra
+    + synthesis from a shared comb/totals pass) equals the single-device
+    roundtrip_hopped, for every 8-device factorization and refresh mode."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sdft_tpu import roundtrip_hopped
+    from sdft_tpu.parallel import sharded_roundtrip_hopped
+
+    m, hop, nb = 32, 16, 3
+    plan = Plan(m, window="hann", precision=F64)
+    C, B = 2, 256
+    x = _signal(C, nb * B, seed=33).reshape(C, nb, B).transpose(1, 0, 2)
+
+    for refresh_every in (1, None):
+        st_ref = init_state(plan, channels=C)
+        st_ref, hd_ref, ys_ref = roundtrip_hopped(
+            plan, st_ref, x, hop, refresh_every=refresh_every)
+        for axes in [(1, 2, 4), (2, 2, 2), (1, 8, 1), (1, 1, 8)]:
+            mesh = make_mesh(*axes)
+            st = init_state(plan, channels=C)
+            st, hd, ys = sharded_roundtrip_hopped(
+                plan, mesh, st, x, hop, refresh_every=refresh_every)
+            assert np.asarray(hd).shape == (nb, C, B // hop, m, 2)
+            assert np.asarray(ys).shape == (nb, C, B)
+            np.testing.assert_allclose(np.asarray(hd), np.asarray(hd_ref),
+                                       atol=1e-12)
+            np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref),
+                                       atol=1e-12)
+            np.testing.assert_allclose(np.asarray(st.accumulator),
+                                       np.asarray(st_ref.accumulator),
+                                       atol=1e-12)
+            np.testing.assert_allclose(np.asarray(st.delayline),
+                                       np.asarray(st_ref.delayline), atol=0)
+
+
+def test_sharded_roundtrip_hopped_degenerate_hop():
+    """hop < 8 rides the stepped multi-hop tiles inside the sharded body."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sdft_tpu import roundtrip_hopped
+    from sdft_tpu.parallel import sharded_roundtrip_hopped
+
+    m, hop, nb = 32, 4, 2
+    plan = Plan(m, window="hamming", precision=F64)
+    C, B = 1, 128
+    x = _signal(C, nb * B, seed=34).reshape(C, nb, B).transpose(1, 0, 2)
+
+    st_ref = init_state(plan, channels=C)
+    st_ref, hd_ref, ys_ref = roundtrip_hopped(plan, st_ref, x, hop)
+    mesh = make_mesh(1, 4, 2)
+    st = init_state(plan, channels=C)
+    st, hd, ys = sharded_roundtrip_hopped(plan, mesh, st, x, hop)
+    np.testing.assert_allclose(np.asarray(hd), np.asarray(hd_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.accumulator),
+                               np.asarray(st_ref.accumulator), atol=1e-12)
+
+
 def test_sharded_hopped_blackman_short_blocks():
     """Blackman (halo 2) + local blocks < 2m: bin-halo exchange and
     multi-predecessor comb compose."""
