@@ -1,7 +1,12 @@
 """On-chip sweep: super-tiled spectra kernel variants vs the shipped
 toephoist kernel at the flagship config m=4096, block=65536.
 Chained-marginal timing; one accuracy row per variant vs the on-chip XLA
-scan path.  ONE process on the TPU at a time."""
+scan path.  ONE process on the TPU at a time.
+
+HISTORICAL: measured against round-3/4 kernel revisions; the
+variant knobs it drives (toephoist/fold_conv/direct/manual_out/
+DIM_SEMANTICS) were retired in the round-5 pruning — run from the
+matching git revision.  Conclusions: docs/PERF.md."""
 
 import sys
 import time

@@ -5,7 +5,12 @@ floor (1.07 GB spectra at 819 GB/s).  Sweeps tile_k x cumsum_mode on the
 planar layout and prints ms/block + % of roofline.
 
     python scripts/exp_fwd.py [m] [block] [k_lo] [k_hi]
-"""
+
+
+HISTORICAL: measured against round-3/4 kernel revisions; the
+variant knobs it drives (toephoist/fold_conv/direct/manual_out/
+DIM_SEMANTICS) were retired in the round-5 pruning — run from the
+matching git revision.  Conclusions: docs/PERF.md."""
 
 import functools
 import pathlib

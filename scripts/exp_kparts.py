@@ -1,6 +1,11 @@
 """Microbenchmark the fused-kernel building blocks in isolation on the chip:
 which of (6 bf16 split dots | carry+conv VPU chain | pure store) dominates a
-(K, W) -> (K, m) spectra tile?  Chained-marginal over grid steps."""
+(K, W) -> (K, m) spectra tile?  Chained-marginal over grid steps.
+
+HISTORICAL: measured against round-3/4 kernel revisions; the
+variant knobs it drives (toephoist/fold_conv/direct/manual_out/
+DIM_SEMANTICS) were retired in the round-5 pruning — run from the
+matching git revision.  Conclusions: docs/PERF.md."""
 import functools
 import sys
 import time

@@ -1,5 +1,10 @@
 """On-chip check + timing of the manual double-buffered output DMA spectra
-kernel (toepconv manual_out) vs toephoist.  ONE TPU process at a time."""
+kernel (toepconv manual_out) vs toephoist.  ONE TPU process at a time.
+
+HISTORICAL: measured against round-3/4 kernel revisions; the
+variant knobs it drives (toephoist/fold_conv/direct/manual_out/
+DIM_SEMANTICS) were retired in the round-5 pruning — run from the
+matching git revision.  Conclusions: docs/PERF.md."""
 
 import sys
 

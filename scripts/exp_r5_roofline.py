@@ -18,7 +18,12 @@ MARGINAL price of each traffic term directly:
   * W-sweep: m in {2048, 4096, 8192} at fixed K, R -> ALL terms scale
     with W; the model predicts ns/row proportional to W.
 
-Run on the real chip: python scripts/exp_r5_roofline.py
+HISTORICAL: this script ran against the round-5 pre-pruning revision
+(commit 3634480, whose kernel carried the lean/dmf_shadow/dots_bf16/
+junk-width probe knobs).  After the experiment falsified the bandwidth
+model, the probes and every rejected variant were deleted from
+kernels/analysis_pallas.py — re-running requires checking out that
+commit.  Results and the corrected model: docs/PERF.md round-5.
 """
 
 import sys

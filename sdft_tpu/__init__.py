@@ -15,6 +15,7 @@ from .compat import SDFT, STFT
 from .config import DEFAULT_PRECISION, FAST_PRECISION, Precision
 from .cplx import from_complex, to_complex
 from .metrics import roundtrip_snr_db, snr_db
+from .ops.twofloat import df_to_float64
 from .plan import Plan
 from .state import State, init_state, reset_state, state_from_arrays, state_to_arrays
 from .stream import Streamer, iter_blocks
@@ -46,6 +47,7 @@ __all__ = [
     "from_complex",
     "snr_db",
     "roundtrip_snr_db",
+    "df_to_float64",
     "init_state",
     "reset_state",
     "state_to_arrays",

@@ -100,6 +100,19 @@ def sdft(plan: Plan, state: State, samples, layout: str = "packed",
     if spectra_dtype and layout != "planar":
         raise ValueError("spectra_dtype requires layout='planar'")
     samples = jnp.asarray(samples)
+    if plan.precision.extended:
+        # double-word tier (Precision(fd="float32x2"), ops.twofloat):
+        # f64-class spectra from f32 pairs on backends with no float64.
+        # dfts gain a trailing (hi, lo) axis: (..., M, m, 2, 2).
+        from .ops.twofloat import sdft_block_df
+
+        if layout != "packed" or spectra_dtype:
+            raise ValueError("the float32x2 extended tier emits packed "
+                             "(hi, lo) spectra only")
+        if samples.ndim not in (1, 2):
+            raise ValueError(f"samples must be (M,) or (C, M), "
+                             f"got {samples.shape}")
+        return sdft_block_df(plan, state, samples)
     if samples.ndim == 1:
         if _use_pallas(plan, samples.shape[-1], spectra_dtype):
             return forward_block_pallas(plan, state, samples, layout=layout,

@@ -21,10 +21,16 @@ import jax.numpy as jnp
 import numpy as np
 
 _REAL_DTYPES = ("float32", "float64")
+#: FD-only extended tier: double-word float32 pairs (ops.twofloat) — the
+#: TPU-native analogue of the reference's `long double` FD tier
+#: (c/src/sdft/sdft.h:21-37): ~2^-48 relative spectra accuracy on hardware
+#: with no float64 unit.
+_FD_DTYPES = _REAL_DTYPES + ("float32x2",)
 
 
 def _complex_of(real_dtype: str) -> str:
-    return {"float32": "complex64", "float64": "complex128"}[real_dtype]
+    return {"float32": "complex64", "float64": "complex128",
+            "float32x2": "complex64"}[real_dtype]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,7 +42,11 @@ class Precision:
           Reference default is float (c/src/sdft/sdft.h:101-106).
       fd: real dtype name underlying frequency-domain complex values
           ("float32" or "float64").  Reference default/recommendation is
-          double (c/src/sdft/sdft.h:113-118).
+          double (c/src/sdft/sdft.h:113-118).  "float32x2" selects the
+          double-word extended tier (ops.twofloat): api.sdft computes
+          f64-class spectra from float32 pairs on any backend — the
+          TPU answer to the reference's `long double` FD tier; other
+          entry points (roundtrip, sdft_power, ...) treat it as float32.
     """
 
     td: str = "float32"
@@ -59,14 +69,19 @@ class Precision:
     def __post_init__(self):
         if self.td not in _REAL_DTYPES:
             raise ValueError(f"unsupported td dtype {self.td!r}; pick from {_REAL_DTYPES}")
-        if self.fd not in _REAL_DTYPES:
-            raise ValueError(f"unsupported fd dtype {self.fd!r}; pick from {_REAL_DTYPES}")
+        if self.fd not in _FD_DTYPES:
+            raise ValueError(f"unsupported fd dtype {self.fd!r}; pick from {_FD_DTYPES}")
         if self.mxu not in ("highest", "high", "split4"):
             raise ValueError(f"unsupported mxu mode {self.mxu!r}; "
                              f"pick 'highest', 'high' or 'split4'")
 
     def resolve(self) -> "Precision":
-        """Downgrade float64 requests to float32 when x64 is disabled."""
+        """Downgrade float64 requests to float32 when x64 is disabled.
+
+        The "float32x2" extended tier needs no x64 — it is built from
+        plain float32 pairs — so it survives resolution on every backend;
+        its underlying array dtype is float32 (fd_dtype).
+        """
         if jax.config.jax_enable_x64:
             return self
         td = "float32" if self.td == "float64" else self.td
@@ -74,6 +89,11 @@ class Precision:
         if (td, fd) == (self.td, self.fd):
             return self
         return Precision(td=td, fd=fd, mxu=self.mxu)
+
+    @property
+    def extended(self) -> bool:
+        """True for the double-word FD tier (fd="float32x2")."""
+        return self.fd == "float32x2"
 
     @property
     def mxu_precision(self):
@@ -97,7 +117,8 @@ class Precision:
 
     @property
     def fd_dtype(self) -> np.dtype:
-        return jnp.dtype(self.resolve().fd)
+        fd = self.resolve().fd
+        return jnp.dtype("float32" if fd == "float32x2" else fd)
 
     @property
     def fdx_dtype(self) -> np.dtype:

@@ -58,26 +58,18 @@ from ..ops.twiddle import mulmod, synthesis_twiddles
 
 PAD = 64          # bin-axis padding each side (total W = m + 128, lane aligned)
 TILE_K = 128      # samples per grid step (lane-aligned slices)
-#: Tile for the hoisted-Toeplitz spectra kernel.  Its MXU work per SAMPLE is
-#: proportional to the tile length (each sample contracts over its tile's
-#: deltas), so smaller tiles cut compute until per-tile overheads win:
-#: measured at m=4096/65536 (ms/block, f32): 128 -> 4.53, 112 -> 4.04,
-#: 96 -> 4.06, 80 -> 4.05, 64 -> 4.16, 32 -> 5.41.  96 balances the f32
-#: plateau with the bf16-output optimum (64) and keeps tables small.
-SPECTRA_TILE_K = 96
-#: Toeplitz depth / rows-per-grid-step for the conv-folded spectra kernel
+#: Toeplitz depth / rows-per-grid-step for the super-tiled spectra kernel
 #: (see _kernel_spectra_conv).  The MXU work per sample is proportional to
 #: CONV_TILE_K alone; CONV_SUPER_R tiles share one grid step to amortize
 #: per-step overheads without adding MXU work.
 CONV_TILE_K = 64
 CONV_SUPER_R = 4
-#: Grid dimension semantics for the spectra kernels.  Measured: "parallel"
-#: makes NO difference on v5e (docs/PERF.md round-4) and is UNSAFE in
-#: principle — the kernels DMA their tables into persistent VMEM scratch at
-#: t == 0, a loop-carried dependency that out-of-order execution would
-#: break.  Keep "arbitrary"; module-level only so experiments can A/B it
-#: (clear the launcher jit caches after changing, single-core chips only).
-DIM_SEMANTICS = ("arbitrary",)
+#: Grid dimension semantics for every kernel in this module.  NOT a knob:
+#: "parallel" measured no different on v5e (docs/PERF.md round-4) and is
+#: UNSAFE in principle — the kernels DMA their tables into persistent VMEM
+#: scratch at t == 0, a loop-carried dependency that out-of-order execution
+#: would break.
+_DIM_SEMANTICS = ("arbitrary",)
 
 
 def pallas_supported() -> bool:
@@ -108,14 +100,6 @@ def plan_supported(plan: Plan, M: int, out_dtype: str | None = None) -> bool:
         # some large dftsizes are bf16-only)
         and _conv_pick_tiles(plan.dftsize, out_bytes) is not None
     )
-
-
-def _toephoist_vmem_ok(m: int, K: int) -> bool:
-    """VMEM estimate for the toephoist kernel: resident tables 20*K*W,
-    the (K, 2W) dots temp, double-buffered f32 out blocks."""
-    W = _round_up(m, 128) + 2 * PAD
-    est = 20 * K * W + 8 * K * W + 4 * K * m * 4
-    return est <= 80 * 1024 * 1024
 
 
 def _cumsum_rows(v, K, mode="mxu2"):
@@ -385,54 +369,6 @@ def _toeplitz_blocks(delta, nt: int, K: int):
     return expand(v_hi), expand(v_lo)
 
 
-@functools.lru_cache(maxsize=None)
-def _spectra_tables(plan: Plan, K: int):
-    """Per-plan device tables for the hoisted-Toeplitz spectra kernel.
-
-    Built once on the host with exact integer phases mod 2m (f64 -> f32),
-    converted to device arrays under ensure_compile_time_eval (safe to
-    first-fetch inside a trace), and passed into the jitted launcher as
-    ARGUMENTS, not embedded literals; the kernel bulk-DMAs them to VMEM
-    scratch once per launch.  This kills
-    the old per-block t==0 scratch init, whose ~3M transcendental
-    evaluations cost more than the entire per-tile pipeline.
-
-    Returns (fine_re, fine_im, dmf_re, dmf_im, b_all): fine[k, i] = T_i^k
-    and dmf[k, i] = T_i^(-(k+1)) on the padded bin axis i in [-PAD, mp+PAD),
-    f32 planes, plus b_all = the bf16 hi+lo splits of dmf pre-stacked into
-    the (3K, 2W) right operand of the single deep MXU contraction.
-    """
-    m = plan.dftsize
-    n2 = 2 * m
-    W = _round_up(m, 128) + 2 * PAD
-    i = np.arange(W) - PAD
-    k = np.arange(K)
-    rf = (k[:, None] * i[None, :]) % n2
-    af = (-np.pi / m) * rf
-    fine_re = np.cos(af).astype(np.float32)
-    fine_im = np.sin(af).astype(np.float32)
-    rd = ((k[:, None] + 1) * i[None, :]) % n2
-    ad = (np.pi / m) * rd
-    dre = np.cos(ad).astype(np.float32)
-    dim = np.sin(ad).astype(np.float32)
-
-    dre_hi, dre_lo = _bf16_split_host(dre)
-    dim_hi, dim_lo = _bf16_split_host(dim)
-    # Stack the split planes into the (3K, W) right operand of the single
-    # deep contraction [thi | thi | tlo] @ [hi; lo; hi] — one 384-deep dot
-    # measured ~10% faster end-to-end than three 128-deep dots, and
-    # pre-stacking here avoids a 6.5 MB per-tile VMEM concat.
-    b_re = np.concatenate([dre_hi, dre_lo, dre_hi], axis=0)
-    b_im = np.concatenate([dim_hi, dim_lo, dim_hi], axis=0)
-    b_all = np.concatenate([b_re, b_im], axis=1)        # (3K, 2W)
-    # DEVICE arrays (ensure_compile_time_eval escapes any active trace —
-    # caching host numpy here would re-upload ~5-15 MB of tables on every
-    # forward block instead of once per plan)
-    with jax.ensure_compile_time_eval():
-        return tuple(jnp.asarray(a) for a in
-                     (fine_re, fine_im, dre, dim, b_all))
-
-
 def _acc_mask_host(plan: Plan, bins):
     """ROI accumulate-mask evaluated at (possibly out-of-range) signed bin
     indices: pads below DC and above Nyquist mirror their interior bin
@@ -446,77 +382,24 @@ def _acc_mask_host(plan: Plan, bins):
     return ((bm >= first) & (bm < last)).astype(np.float64)
 
 
-def _conv_folded_planes_host(plan: Plan, K: int, cols, out_mask, fold: bool):
-    """Shared builder for the spectra kernels\' demod planes over arbitrary
-    signed bin columns (exact integer phases): returns (dre, dim) — the raw
-    masked carry-demod planes — and (dmfc_re, dmfc_im) — the (optionally)
-    window-conv-folded, out-masked contraction planes."""
-    m = plan.dftsize
-    n2 = 2 * m
-    halo = WINDOW_HALO[plan.window]
-    taps = [float(c) * plan.analysis_weight for c in WINDOW_TAPS[plan.window]]
-    k = np.arange(K)
-    n = len(cols)
-    dre = np.zeros((K, n))
-    dim = np.zeros((K, n))
-    dmfc_re = np.zeros((K, n))
-    dmfc_im = np.zeros((K, n))
-    for g in (range(-halo, halo + 1) if fold else (0,)):
-        b = cols + g
-        ad = (np.pi / m) * (((k[:, None] + 1) * b[None, :]) % n2)
-        cg = taps[abs(g)] if fold else 1.0
-        mg = _acc_mask_host(plan, b)     # accumulate mask at the READ bin
-        dmfc_re += cg * mg * np.cos(ad)
-        dmfc_im += cg * mg * np.sin(ad)
-        if g == 0:
-            dre = np.cos(ad) * mg
-            dim = np.sin(ad) * mg
-    dmfc_re *= out_mask
-    dmfc_im *= out_mask
-    return dre, dim, dmfc_re, dmfc_im
-
-
-def _phi_host(plan: Plan, K: int):
-    """Carry conv-shift phasor columns phi_h[k] = exp(j*pi*(k+1)*h/m)."""
-    m = plan.dftsize
-    n2 = 2 * m
-    k = np.arange(K)
-    phi = np.zeros((K, 128), np.float32)
-    for h in range(1, WINDOW_HALO[plan.window] + 1):
-        aph = (np.pi / m) * (((k + 1) * h) % n2)
-        phi[:, 2 * (h - 1)] = np.cos(aph)
-        phi[:, 2 * (h - 1) + 1] = np.sin(aph)
-    return phi
-
-
-
 @functools.lru_cache(maxsize=None)
-def _spectra_tables_conv(plan: Plan, K: int, fold: bool = True,
-                         lean: bool = False):
-    """Device tables for the conv-folded spectra kernel (_kernel_spectra_conv).
+def _spectra_tables_conv(plan: Plan, K: int):
+    """Device tables for the super-tiled spectra kernel
+    (_kernel_spectra_conv): (fine_re, fine_im, dmf_re, dmf_im, b_conv).
 
-    The window's bin convolution (c/src/sdft/sdft.h:350-402) is linear and
-    bin-shift-invariant while the Toeplitz coefficients are bin-independent,
-    so it FOLDS into the contraction table:
+      * fine planes fine[k, i] = T_i^k: launcher-side totals GEMM +
+        top-edge fix machinery,
+      * dmf planes dmf[k, i] = T_i^(-(k+1)): the carry demodulation in
+        the kernel,
+      * b_conv: bf16 hi/lo split of dmf stacked (3K, 2W) for the single
+        deep contraction [thi | thi | tlo] @ [hi; lo; hi] (one 3K-deep
+        dot measured ~10% faster end-to-end than three K-deep dots).
 
-        conv_g(Toep @ dmf) = Toep @ conv_g(dmf) = Toep @ dmfc
-
-    (analysis weight included) — the kernel's VPU never runs the window
-    stencil.  Returns (fine_re, fine_im, dmf_re, dmf_im, b_conv, phi):
-
-      * fine planes: launcher-side totals GEMM + top-edge fix machinery,
-      * raw dmf planes: the carry demodulation in the kernel,
-      * b_conv: bf16 hi/lo split of dmfc stacked (3K, 2W) for the single
-        deep contraction [thi | thi | tlo] @ [hi; lo; hi],
-      * phi (K, 128) f32: the carry's conv shift phasors
-        phi_h[k] = exp(j*pi*(k+1)*h/m) at columns (2(h-1), 2(h-1)+1) —
-        dmf[k, i+g] = dmf[k, i] * phi_g[k], so the convolved carry is
-        Re/Im(dmf * D) with D built from rank-1 (K,1)x(1,W) VPU terms
-        (NOT skinny MXU dots: Mosaic pads those to full 128-deep matmuls,
-        the measured sink of the round-3 "rank-h carry" attempt).
-
-    ROI folds entirely into the tables (masked fine/dmf/dmfc columns with
-    DC-mirrored pads — see _acc_mask_host / _conv_folded_planes_host).
+    Built once on the host with exact integer phases mod 2m (f64 -> f32)
+    and converted under ensure_compile_time_eval (safe to first-fetch
+    inside a trace); passed into the jitted launcher as ARGUMENTS, not
+    embedded literals.  ROI folds entirely into the tables (masked
+    columns with DC-mirrored pads — _acc_mask_host).
     """
     m = plan.dftsize
     n2 = 2 * m
@@ -530,73 +413,21 @@ def _spectra_tables_conv(plan: Plan, K: int, fold: bool = True,
     fine_re = (np.cos(af) * mask).astype(np.float32)
     fine_im = (np.sin(af) * mask).astype(np.float32)
 
-    dre, dim, dmfc_re, dmfc_im = _conv_folded_planes_host(
-        plan, K, i, mask, fold)
+    ad = (np.pi / m) * (((k[:, None] + 1) * i[None, :]) % n2)
+    dre = (np.cos(ad) * mask).astype(np.float32)
+    dim = (np.sin(ad) * mask).astype(np.float32)
 
-    b_hi_re, b_lo_re = _bf16_split_host(dmfc_re.astype(np.float32))
-    b_hi_im, b_lo_im = _bf16_split_host(dmfc_im.astype(np.float32))
+    b_hi_re, b_lo_re = _bf16_split_host(dre)
+    b_hi_im, b_lo_im = _bf16_split_host(dim)
     b_re = np.concatenate([b_hi_re, b_lo_re, b_hi_re], axis=0)
     b_im = np.concatenate([b_hi_im, b_lo_im, b_hi_im], axis=0)
     b_conv = np.concatenate([b_re, b_im], axis=1)       # (3K, 2W)
 
-    # "lean" (bf16-output fast mode): the carry-demod planes round to
-    # bf16 — their 2^-8 relative error sits at the bf16 OUTPUT rounding
-    # class and halves the kernel's dominant VMEM read traffic
-    ddt = jnp.bfloat16 if lean else jnp.float32
     with jax.ensure_compile_time_eval():
         return tuple(jnp.asarray(a, d) for a, d in
                      ((fine_re, jnp.float32), (fine_im, jnp.float32),
-                      (dre.astype(np.float32), ddt),
-                      (dim.astype(np.float32), ddt),
-                      (b_conv, jnp.bfloat16),
-                      (_phi_host(plan, K), jnp.float32)))
-
-
-@functools.lru_cache(maxsize=None)
-def _spectra_tables_direct(plan: Plan, K: int, lean: bool = False):
-    """Device tables for the DIRECT spectra kernel variant: per-plane
-    conv-folded contraction tables on the m-window (bins [0, mp), no pad
-    columns), so each plane's (K, 3K) @ (3K, mp) dot is stored straight to
-    the output block and the carry is applied read-modify-write — no
-    2W-wide dots temp.  Returns (fine_re, fine_im [W-wide, prologue],
-    dmfm_re, dmfm_im (K, mp), b_dre, b_dim (3K, mp), phi).  Shares the
-    mask/fold machinery with _spectra_tables_conv via
-    _conv_folded_planes_host."""
-    m = plan.dftsize
-    n2 = 2 * m
-    W = _round_up(m, 128) + 2 * PAD
-    mp = _round_up(m, 128)
-    i = np.arange(W) - PAD
-    i2 = np.arange(mp)
-    k = np.arange(K)
-
-    maskW = _acc_mask_host(plan, i)
-    rf = (k[:, None] * i[None, :]) % n2
-    af = (-np.pi / m) * rf
-    fine_re = (np.cos(af) * maskW).astype(np.float32)
-    fine_im = (np.sin(af) * maskW).astype(np.float32)
-
-    # out-mask on the m-window: ROI plus the mp-padding columns (junk,
-    # never stored); top-halo columns are fix-overwritten either way
-    out_mask = _acc_mask_host(plan, i2) * (i2 < m)
-    dre, dim, dmfc_re, dmfc_im = _conv_folded_planes_host(
-        plan, K, i2, out_mask, fold=True)
-    dre = dre * out_mask
-    dim = dim * out_mask
-
-    hr, lr = _bf16_split_host(dmfc_re.astype(np.float32))
-    hi_, li = _bf16_split_host(dmfc_im.astype(np.float32))
-    b_dre = np.concatenate([hr, lr, hr], axis=0)       # (3K, mp)
-    b_dim = np.concatenate([hi_, li, hi_], axis=0)
-
-    ddt = jnp.bfloat16 if lean else jnp.float32
-    with jax.ensure_compile_time_eval():
-        return tuple(jnp.asarray(a, d) for a, d in
-                     ((fine_re, jnp.float32), (fine_im, jnp.float32),
-                      (dre.astype(np.float32), ddt),
-                      (dim.astype(np.float32), ddt),
-                      (b_dre, jnp.bfloat16), (b_dim, jnp.bfloat16),
-                      (_phi_host(plan, K), jnp.float32)))
+                      (dre, jnp.float32), (dim, jnp.float32),
+                      (b_conv, jnp.bfloat16)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -644,123 +475,30 @@ def _phase_rows_W(plan: Plan, offset, nt: int, K: int, coarse):
     return row_re[:nt], row_im[:nt]
 
 
-def _kernel_spectra(c0_ref, fix_ref, toep_hi_ref, toep_lo_ref,
-                    *refs, plan: Plan, tile_k: int, nfixed: int,
-                    dma_tables: bool = True):
-    """Stateless spectra tile: out = conv(Toep @ dmf + c0 o dmf).
-
-    Every sequential or plan-constant quantity is hoisted into the launcher
-    or the cached tables (per-tile carry rows c0, the next accumulator, the
-    Hermitian top-edge fix columns, the demod tables and their bf16
-    splits), so grid steps are fully independent and contain no
-    transcendentals — the scheduler can overlap the tile\'s MXU contraction,
-    the short VPU carry/conv chain and the output DMA across steps with no
-    loop-carried dependency.  Per element: one 3-term bf16-split
-    contraction (MXU), one complex multiply-add and the window stencil.
-    """
-    K = tile_k
-    m = plan.dftsize
-    halo = WINDOW_HALO[plan.window]
-    wgt = plan.analysis_weight
-    c0t, c1t, c2t = (np.float32(c * wgt) for c in WINDOW_TAPS[plan.window])
-
-    t = pl.program_id(0)
-    if dma_tables:
-        # one-time bulk DMA of the demod tables HBM -> VMEM scratch: no
-        # per-step refetch (constant-index VMEM inputs cost ~1.6 us/tile,
-        # measured) and no in-kernel transcendentals (the old per-launch
-        # scratch init cost more than the whole tile pipeline)
-        hbm_tables = refs[:3]
-        dft_re_ref, dft_im_ref = refs[3], refs[4]
-        scratch_tables = refs[5:8]
-        sems = refs[8]
-        (dmf_re, dmf_im, b_all) = scratch_tables
-
-        @pl.when(t == 0)
-        def _load_tables():
-            for idx in range(3):
-                pltpu.make_async_copy(hbm_tables[idx], scratch_tables[idx],
-                                      sems.at[idx]).start()
-            for idx in range(3):
-                pltpu.make_async_copy(hbm_tables[idx], scratch_tables[idx],
-                                      sems.at[idx]).wait()
-    else:
-        # interpret mode: tables arrive as whole-array VMEM inputs (the
-        # DMA staging confuses the interpreter's pl.when lowering and its
-        # performance does not matter there)
-        (dmf_re, dmf_im, b_all) = refs[:3]
-        dft_re_ref, dft_im_ref = refs[3], refs[4]
-
-    # the 3-term bf16 split product for BOTH planes as ONE contraction:
-    # [thi | thi | tlo] (K, 3K) @ [[hi;lo;hi]_re | [hi;lo;hi]_im] (3K, 2W)
-    # — a single 384-deep, 2W-wide MXU dot (pre-stacked table, one DMA;
-    # the A concat is a 98 kB VMEM copy per tile).  Measured 13.1 -> 14.5M
-    # samples/s over three separate 128-deep dots per plane.
-    W = _round_up(m, 128) + 2 * PAD
-    A = jnp.concatenate([toep_hi_ref[:], toep_hi_ref[:], toep_lo_ref[:]],
-                        axis=1)
-    dots = jnp.dot(A, b_all[:], preferred_element_type=jnp.float32)
-
-    r = 2 * (t - (t // 8) * 8)            # this tile's row pair in the block
-    c0_re = c0_ref[pl.ds(r, 1), :]
-    c0_im = c0_ref[pl.ds(r + 1, 1), :]
-    aux_re = dots[:, :W] + (c0_re * dmf_re[:] - c0_im * dmf_im[:])
-    aux_im = dots[:, W:] + (c0_re * dmf_im[:] + c0_im * dmf_re[:])
-
-    def conv(a):
-        out = c0t * a[:, PAD:PAD + m]
-        if halo >= 1:
-            out = out + c1t * (a[:, PAD - 1:PAD + m - 1]
-                               + a[:, PAD + 1:PAD + m + 1])
-        if halo >= 2:
-            out = out + c2t * (a[:, PAD - 2:PAD + m - 2]
-                               + a[:, PAD + 2:PAD + m + 2])
-        return out
-
-    dft_re_ref[:] = conv(aux_re).astype(dft_re_ref.dtype)
-    dft_im_ref[:] = conv(aux_im).astype(dft_im_ref.dtype)
-    if nfixed:
-        # Hermitian top-edge columns precomputed in the launcher
-        dft_re_ref[:, m - nfixed:m] = (
-            fix_ref[:, :nfixed].astype(dft_re_ref.dtype))
-        dft_im_ref[:, m - nfixed:m] = (
-            fix_ref[:, nfixed:].astype(dft_im_ref.dtype))
-
-
 def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
-                         phi_ref, *refs, plan: Plan, tile_k: int,
+                         *refs, plan: Plan, tile_k: int,
                          super_r: int, nfixed: int, crow_stride: int,
-                         fold_conv: bool, manual_out: bool = False,
-                         n_out: int = 0, n_steps: int = 0,
-                         lean: bool = False, direct: bool = False,
-                         power: bool = False, dma_tables: bool = True,
-                         dmf_shadow: bool = False, dots_bf16: bool = False):
+                         power: bool = False, dma_tables: bool = True):
     """Super-tiled stateless spectra step: R tiles of K samples per step,
     ONE (R*K, 3K) @ (3K, 2W) bf16-split contraction — the Toeplitz depth K
     (MXU work per sample) is decoupled from the R*K samples each grid step
-    emits, so per-step overheads amortize without adding MXU work.
+    emits, so per-step overheads amortize without adding MXU work.  The
+    per-tile carry is c0 o dmf and the window stencil runs in-kernel
+    (crows carry 2 rows per tile: c0_re, c0_im); the top ``nfixed``
+    Hermitian-guarded output columns are overwritten from
+    launcher-precomputed fix columns.  ``power`` emits |dft|^2 as a single
+    plane (squared at the store).
 
-    ``fold_conv`` selects the carry/stencil organization:
-
-      * False: the toephoist math — carry = c0 o dmf, window stencil
-        applied in-kernel (crows carry 2 rows per tile: c0_re, c0_im);
-      * True: the window conv is folded into the contraction table
-        (dmfc = conv(dmf), _spectra_tables_conv) and the carry lands in
-        the convolved domain, out += Re/Im(dmf o D) with
-        D[k,i] = E0[i] + sum_h (phi_h[k]*S_h[i] -/+ ...) built from
-        rank-1 (K,1)x(1,W) VPU FMAs (NOT skinny MXU dots — Mosaic pads
-        those to full matmuls).  crows carry 2 + 4*halo rows per tile.
-
-    Either way the top ``nfixed`` Hermitian-guarded output columns are
-    overwritten from launcher-precomputed fix columns.
-
-    ``manual_out``: Mosaic's automatic out-block pipelining measured fully
-    SERIAL here — per-block time is the SUM of the output DMA and the
-    compute across every swept variant (docs/PERF.md round-4 notes).  With
-    manual_out the outputs live in ANY/HBM space and the kernel writes a
-    ping-pong VMEM scratch slot, starts an async copy per step, and only
-    waits for the copy issued two steps earlier — the step-t store streams
-    while step t+1 computes.
+    Retired variants (round-5 pruning; measurements in docs/PERF.md):
+    the conv-folded table + rank-1 carry ("fold_conv", slower in f32,
+    equal in bf16), the per-plane direct-store kernel ("direct", no
+    gain — Mosaic does not fuse the matmul store), manual ping-pong
+    output DMA ("manual_out", identical to Mosaic's automatic
+    pipelining), bf16 tables ("lean") and the round-5 traffic probes
+    (falsified the VMEM-bandwidth roofline: bytes price at <= 0.06
+    ns/KB).  The grid must run in-order ("arbitrary" dimension
+    semantics): the t == 0 table DMA into persistent scratch is a
+    loop-carried dependency that "parallel" scheduling would break.
     """
     K = tile_k
     R = super_r
@@ -771,73 +509,27 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
     W = _round_up(m, 128) + 2 * PAD
 
     t = pl.program_id(0)
-    oscr_re = oscr_im = osems = None
-    # roofline-probe scratch (exp_r5_roofline): per-subtile shadow planes
-    # read with a runtime-zero coefficient — adds ONLY VMEM read traffic
-    sh_re, sh_im = (refs[-2], refs[-1]) if dmf_shadow else (None, None)
-    nt_tab = 4 if direct else 3
     n_outs = 1 if power else 2
     if dma_tables:
-        hbm_tables = refs[:nt_tab]
-        if power:
-            dft_re_ref = refs[nt_tab]
-            dft_im_ref = None
-        else:
-            dft_re_ref, dft_im_ref = refs[nt_tab], refs[nt_tab + 1]
-        scratch_tables = refs[nt_tab + n_outs:2 * nt_tab + n_outs]
-        sems = refs[2 * nt_tab + n_outs]
-        if direct:
-            dmf_re, dmf_im, b_conv, b_conv2 = scratch_tables
-        else:
-            dmf_re, dmf_im, b_conv = scratch_tables
-            b_conv2 = None
-        if manual_out:
-            oscr_re, oscr_im, osems = refs[2 * nt_tab + n_outs + 1:
-                                           2 * nt_tab + n_outs + 4]
+        hbm_tables = refs[:3]
+        dft_re_ref = refs[3]
+        dft_im_ref = None if power else refs[4]
+        scratch_tables = refs[3 + n_outs:6 + n_outs]
+        sems = refs[6 + n_outs]
+        dmf_re, dmf_im, b_conv = scratch_tables
 
         @pl.when(t == 0)
         def _load_tables():
-            for idx in range(nt_tab):
+            for idx in range(3):
                 pltpu.make_async_copy(hbm_tables[idx], scratch_tables[idx],
                                       sems.at[idx]).start()
-            for idx in range(nt_tab):
+            for idx in range(3):
                 pltpu.make_async_copy(hbm_tables[idx], scratch_tables[idx],
                                       sems.at[idx]).wait()
-            if dmf_shadow:
-                # distinct per-subtile slices so the reads cannot CSE
-                for r_ in range(super_r):
-                    sh_re[pl.ds(r_ * K, K), :] = scratch_tables[0][
-                        ...].astype(jnp.float32)
-                    sh_im[pl.ds(r_ * K, K), :] = scratch_tables[1][
-                        ...].astype(jnp.float32)
     else:
         dmf_re, dmf_im, b_conv = refs[:3]
-        b_conv2 = refs[3] if direct else None
-        if power:
-            dft_re_ref = refs[nt_tab]
-            dft_im_ref = None
-        else:
-            dft_re_ref, dft_im_ref = refs[nt_tab], refs[nt_tab + 1]
-
-    RK = R * K
-    if manual_out:
-        # ping-pong output staging: slot = t % 2 rows [slot*RK, slot*RK+RK)
-        # of the (2*RK, m) scratch planes; the copy started at step t-2 on
-        # this slot must have drained before we overwrite it
-        slot = jnp.mod(t, 2)
-        row0_out = t * RK
-        size_last = n_out - (n_steps - 1) * RK
-
-        def out_copy(plane_scr, plane_hbm, start_row, size, sl, pidx):
-            return pltpu.make_async_copy(
-                plane_scr.at[pl.ds(sl * RK, size), :],
-                plane_hbm.at[pl.ds(start_row, size), :],
-                osems.at[sl, pidx])
-
-        @pl.when(t >= 2)
-        def _reclaim_slot():
-            out_copy(oscr_re, dft_re_ref, (t - 2) * RK, RK, slot, 0).wait()
-            out_copy(oscr_im, dft_im_ref, (t - 2) * RK, RK, slot, 1).wait()
+        dft_re_ref = refs[3]
+        dft_im_ref = None if power else refs[4]
 
     def conv(a):
         out = c0t * a[:, PAD:PAD + m]
@@ -858,109 +550,31 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
         rows = slice(r * K, (r + 1) * K)
         A_r = jnp.concatenate([toep_hi_ref[rows, :], toep_hi_ref[rows, :],
                                toep_lo_ref[rows, :]], axis=1)     # (K, 3K)
-        # (a bf16 preferred_element_type would halve the dots temp traffic,
-        # but Mosaic requires 32-bit matmul accumulators)
-        if direct:
-            return (jnp.dot(A_r, b_conv[:],
-                            preferred_element_type=jnp.float32),
-                    jnp.dot(A_r, b_conv2[:],
-                            preferred_element_type=jnp.float32))
-        d = jnp.dot(A_r, b_conv[:], preferred_element_type=jnp.float32)
-        # roofline probe: round the dots temp to bf16 at the matmul store
-        # (f32 MXU accumulate, halved temp traffic IF Mosaic fuses the cast)
-        return d.astype(jnp.bfloat16) if dots_bf16 else d
-
-    def carry_rows(base):
-        """Convolved-domain carry factors D_re, D_im from the packed
-        launcher rows (the rank-1 phi expansion)."""
-        d_re = crows_ref[base + 0:base + 1, :]
-        d_im = crows_ref[base + 1:base + 2, :]
-        for h in range(1, halo + 1):
-            o = base + 2 + 4 * (h - 1)
-            s_r = crows_ref[o + 0:o + 1, :]
-            s_i = crows_ref[o + 1:o + 2, :]
-            t_r = crows_ref[o + 2:o + 3, :]
-            t_i = crows_ref[o + 3:o + 4, :]
-            phr = phi_ref[:, 2 * (h - 1):2 * (h - 1) + 1]          # (K, 1)
-            phm = phi_ref[:, 2 * (h - 1) + 1:2 * (h - 1) + 2]
-            d_re = d_re + phr * s_r - phm * t_i
-            d_im = d_im + phr * s_i + phm * t_r
-        return d_re, d_im
+        return jnp.dot(A_r, b_conv[:], preferred_element_type=jnp.float32)
 
     def vpu_store(r, dsub):
         base = r * crow_stride
         rows = slice(r * K, (r + 1) * K)
-        if direct:
-            # store the per-plane conv-folded dots straight to the output
-            # block, then apply the carry read-modify-write — no 2W-wide
-            # dots temp in the chain
-            dre, dim_ = dsub
-            d_re, d_im = carry_rows(base)
-            car_re = (mre * d_re - mim * d_im)[:, :m]
-            car_im = (mre * d_im + mim * d_re)[:, :m]
-            if power:
-                pr = dre[:, :m] + car_re
-                pi = dim_[:, :m] + car_im
-                dft_re_ref[rows, :] = (pr * pr + pi * pi).astype(
-                    dft_re_ref.dtype)
-                return
-            dft_re_ref[rows, :] = dre[:, :m].astype(dft_re_ref.dtype)
-            dft_im_ref[rows, :] = dim_[:, :m].astype(dft_im_ref.dtype)
-            dft_re_ref[rows, :] = (
-                dft_re_ref[rows, :].astype(jnp.float32)
-                + car_re).astype(dft_re_ref.dtype)
-            dft_im_ref[rows, :] = (
-                dft_im_ref[rows, :].astype(jnp.float32)
-                + car_im).astype(dft_im_ref.dtype)
-            return
-        if fold_conv:
-            d_re, d_im = carry_rows(base)
-            out_re = dsub[:, :W].astype(jnp.float32) + (mre * d_re
-                                                        - mim * d_im)
-            out_im = dsub[:, W:2 * W].astype(jnp.float32) + (mre * d_im
-                                                             + mim * d_re)
-            if dmf_shadow:
-                z = phi_ref[0, 127]          # runtime zero, opaque to Mosaic
-                out_re = out_re + z * sh_re[pl.ds(r * K, K), :].astype(
-                    jnp.float32)
-                out_im = out_im + z * sh_im[pl.ds(r * K, K), :].astype(
-                    jnp.float32)
-            out_re = out_re[:, PAD:PAD + m]
-            out_im = out_im[:, PAD:PAD + m]
-        else:
-            c_re = crows_ref[base + 0:base + 1, :]
-            c_im = crows_ref[base + 1:base + 2, :]
-            aux_re = dsub[:, :W].astype(jnp.float32) + (c_re * mre
-                                                        - c_im * mim)
-            aux_im = dsub[:, W:2 * W].astype(jnp.float32) + (c_re * mim
-                                                             + c_im * mre)
-            if dmf_shadow:
-                z = phi_ref[0, 127]          # runtime zero, opaque to Mosaic
-                aux_re = aux_re + z * sh_re[pl.ds(r * K, K), :].astype(
-                    jnp.float32)
-                aux_im = aux_im + z * sh_im[pl.ds(r * K, K), :].astype(
-                    jnp.float32)
-            out_re = conv(aux_re)
-            out_im = conv(aux_im)
-            if plan.roi is not None:
-                # conv spill past the ROI edge reads as zero; the folded
-                # mode bakes this mask into the dmfc table instead.
-                # (in-kernel iota: pallas kernels cannot capture array
-                # constants)
-                first, last = plan.roi
-                ib2 = lax.broadcasted_iota(jnp.int32, (1, m), 1)
-                roi_row = ((ib2 >= first) & (ib2 < last)).astype(jnp.float32)
-                out_re = out_re * roi_row
-                out_im = out_im * roi_row
+        c_re = crows_ref[base + 0:base + 1, :]
+        c_im = crows_ref[base + 1:base + 2, :]
+        aux_re = dsub[:, :W].astype(jnp.float32) + (c_re * mre
+                                                    - c_im * mim)
+        aux_im = dsub[:, W:2 * W].astype(jnp.float32) + (c_re * mim
+                                                         + c_im * mre)
+        out_re = conv(aux_re)
+        out_im = conv(aux_im)
+        if plan.roi is not None:
+            # conv spill past the ROI edge reads as zero (in-kernel iota:
+            # pallas kernels cannot capture array constants)
+            first, last = plan.roi
+            ib2 = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+            roi_row = ((ib2 >= first) & (ib2 < last)).astype(jnp.float32)
+            out_re = out_re * roi_row
+            out_im = out_im * roi_row
         if power:
             dft_re_ref[rows, :] = (out_re * out_re
                                    + out_im * out_im).astype(
                 dft_re_ref.dtype)
-        elif manual_out:
-            oscr_re[pl.ds(slot * RK + r * K, K), :] = (
-                out_re.astype(oscr_re.dtype))
-            oscr_im[pl.ds(slot * RK + r * K, K), :] = (
-                out_im.astype(oscr_im.dtype))
         else:
             dft_re_ref[rows, :] = out_re.astype(dft_re_ref.dtype)
             dft_im_ref[rows, :] = out_im.astype(dft_im_ref.dtype)
@@ -974,49 +588,12 @@ def _kernel_spectra_conv(crows_ref, fix_ref, toep_hi_ref, toep_lo_ref,
             vpu_store(prev[0], prev[1])
         prev = (r, cur)
     vpu_store(prev[0], prev[1])
-    if power:
-        if nfixed:
-            # launcher pre-squares the fix columns for the power path
-            dft_re_ref[:, m - nfixed:m] = (
-                fix_ref[:, :nfixed].astype(dft_re_ref.dtype))
-    elif manual_out:
-        if nfixed:
-            oscr_re[pl.ds(slot * RK, RK), m - nfixed:m] = (
-                fix_ref[:, :nfixed].astype(oscr_re.dtype))
-            oscr_im[pl.ds(slot * RK, RK), m - nfixed:m] = (
-                fix_ref[:, nfixed:].astype(oscr_im.dtype))
-        if size_last == RK:
-            out_copy(oscr_re, dft_re_ref, row0_out, RK, slot, 0).start()
-            out_copy(oscr_im, dft_im_ref, row0_out, RK, slot, 1).start()
-        else:
-            @pl.when(t < n_steps - 1)
-            def _start_full():
-                out_copy(oscr_re, dft_re_ref, row0_out, RK, slot, 0).start()
-                out_copy(oscr_im, dft_im_ref, row0_out, RK, slot, 1).start()
-
-            @pl.when(t == n_steps - 1)
-            def _start_last():
-                out_copy(oscr_re, dft_re_ref, row0_out, size_last,
-                         slot, 0).start()
-                out_copy(oscr_im, dft_im_ref, row0_out, size_last,
-                         slot, 1).start()
-
-        @pl.when(t == n_steps - 1)
-        def _drain():
-            if n_steps >= 2:
-                psl = jnp.mod(t + 1, 2)
-                out_copy(oscr_re, dft_re_ref, (t - 1) * RK, RK,
-                         psl, 0).wait()
-                out_copy(oscr_im, dft_im_ref, (t - 1) * RK, RK,
-                         psl, 1).wait()
-            out_copy(oscr_re, dft_re_ref, row0_out, size_last,
-                     slot, 0).wait()
-            out_copy(oscr_im, dft_im_ref, row0_out, size_last,
-                     slot, 1).wait()
-    else:
-        if nfixed:
-            dft_re_ref[:, m - nfixed:m] = (
-                fix_ref[:, :nfixed].astype(dft_re_ref.dtype))
+    if nfixed:
+        # Hermitian top-edge columns precomputed in the launcher (the
+        # power path's fix columns arrive pre-squared)
+        dft_re_ref[:, m - nfixed:m] = (
+            fix_ref[:, :nfixed].astype(dft_re_ref.dtype))
+        if not power:
             dft_im_ref[:, m - nfixed:m] = (
                 fix_ref[:, nfixed:].astype(dft_im_ref.dtype))
 
@@ -1140,114 +717,6 @@ def _spectra_prologue(plan: Plan, state: State, samples, K: int,
     return delta, dt, nt, new_delayline, c0_re, c0_im, acc_out, fix
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
-def _launch_spectra_toeplitz(plan: Plan, state: State, samples, tables,
-                             interpret: bool = False, tile_k: int = TILE_K,
-                             layout: str = "packed",
-                             out_dtype: str | None = None):
-    """Forward spectra via the hoisted-Toeplitz kernel.
-
-    The launcher computes every sequential quantity with dense batched XLA
-    ops over all tiles at once, leaving the Pallas grid a stateless map
-    (see _kernel_spectra):
-
-      * per-tile totals     S_t = delta_tile @ fine        (one real GEMM)
-      * rotated prefix      c0_t = (acc + excl-cumsum(row0_t S_t)) conj(row0_t)
-      * the next carry      acc\' = acc + sum_t row0_t S_t
-      * top-edge fixes      from raw aux at the 2*halo top bins — computed
-                            in the cheap per-column form
-                            aux[t,k,c] = (c0[t,c] + cumsum_k(d fine))
-                                         * conj(fine[k,c]) * base[c]
-                            (O(nt*K*2halo) elementwise, no GEMM, no
-                            Toeplitz materialization)
-    """
-    m = plan.dftsize
-    n2 = 2 * m
-    W = _round_up(m, 128) + 2 * PAD
-    (M,) = samples.shape
-    K = tile_k
-    halo = WINDOW_HALO[plan.window]
-    (fine_re, fine_im, dmf_re, dmf_im, b_all, *coarse) = tables
-
-    (delta, dt, nt, new_delayline, c0_re, c0_im, acc_out, fix
-     ) = _spectra_prologue(plan, state, samples, K, fine_re, fine_im, coarse)
-    Mp = nt * K
-
-    # pack 8 tiles' (re, im) row pairs per fetched (16, W) block — no
-    # zero-padding waste, and Pallas re-fetches only every 8th grid step
-    # (measured faster than per-tile static (8, W) blocks, 4.99 vs 5.15
-    # ms/block at the flagship config, despite the dynamic sublane slice)
-    ntp = _round_up(nt, 8)
-    c0 = jnp.stack([c0_re, c0_im], axis=1)
-    if ntp != nt:
-        c0 = jnp.concatenate(
-            [c0, jnp.zeros((ntp - nt, 2, W), jnp.float32)], axis=0)
-    c0 = c0.reshape(ntp * 2, W)
-
-    toep_hi, toep_lo = _toeplitz_blocks(delta, nt, K)
-
-    odt = jnp.dtype(out_dtype) if out_dtype else jnp.float32
-    if odt != jnp.float32 and layout != "planar":
-        raise ValueError("non-f32 spectra require layout=\'planar\'")
-
-    nfix = fix.shape[-1]
-    if interpret:
-        table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-        scratch = []
-    else:
-        table_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # HBM; the kernel
-        scratch = [                                        # DMAs at t==0
-            pltpu.VMEM((K, W), jnp.float32),           # dmf re
-            pltpu.VMEM((K, W), jnp.float32),           # dmf im
-            pltpu.VMEM((3 * K, 2 * W), jnp.bfloat16),  # stacked B re|im
-            pltpu.SemaphoreType.DMA((3,)),
-        ]
-    # NOTE a software-pipelined two-stage variant (MXU dots for tile t into
-    # ping-pong scratch while the VPU finishes tile t-1) measured SLOWER
-    # (6.3 vs 5.1 ms/block at m=4096): the extra (K, W) f32 slot write+read
-    # through VMEM costs more than the stage overlap recovers (docs/PERF.md).
-    grid = (nt,)
-    c0_idx = lambda t: (t // 8, 0)                              # noqa: E731
-    fix_idx = lambda t: (t, 0)                                  # noqa: E731
-    toep_idx = lambda t: (t, 0)                                 # noqa: E731
-    out_idx = lambda t: (t, 0)                                  # noqa: E731
-    kernel = functools.partial(_kernel_spectra, plan=plan, tile_k=K,
-                               nfixed=halo, dma_tables=not interpret)
-    dft_re, dft_im = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((16, W), c0_idx,
-                         memory_space=pltpu.VMEM),            # c0 row pairs x8
-            pl.BlockSpec((K, nfix), fix_idx,
-                         memory_space=pltpu.VMEM),            # fix cols
-            pl.BlockSpec((K, K), toep_idx,
-                         memory_space=pltpu.VMEM),            # toep hi
-            pl.BlockSpec((K, K), toep_idx,
-                         memory_space=pltpu.VMEM),            # toep lo
-            table_spec, table_spec,                           # dmf f32
-            table_spec,                                       # stacked B bf16
-        ],
-        out_shape=(jax.ShapeDtypeStruct((M, m), odt),) * 2,
-        out_specs=(pl.BlockSpec((K, m), out_idx,
-                                memory_space=pltpu.VMEM),) * 2,
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=None if interpret else DIM_SEMANTICS),
-        interpret=interpret,
-    )(c0, fix, toep_hi, toep_lo, dmf_re, dmf_im, b_all)
-
-    new_state = State(
-        offset=jnp.mod(state.offset + M, n2).astype(state.offset.dtype),
-        delayline=new_delayline,
-        accumulator=acc_out.astype(state.accumulator.dtype),
-    )
-    if layout == "planar":
-        return new_state, (dft_re, dft_im)
-    return new_state, jnp.stack([dft_re, dft_im], axis=-1)
-
-
 def _conv_pick_tiles(m: int, out_bytes: int) -> tuple[int, int] | None:
     """(tile_k, super_r) for the super-tiled kernel under the VMEM budget,
     or None if no configuration fits (plan_supported reports such plans
@@ -1270,29 +739,21 @@ def _conv_pick_tiles(m: int, out_bytes: int) -> tuple[int, int] | None:
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(0, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
+                   static_argnums=(0, 4, 5, 6, 7, 8, 9))
 def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
                          interpret: bool = False, tile_k: int = CONV_TILE_K,
                          super_r: int = CONV_SUPER_R, layout: str = "packed",
                          out_dtype: str | None = None,
-                         fold_conv: bool = True, lean: bool = False,
-                         direct: bool = False, power: bool = False,
-                         dmf_shadow: bool = False, dots_bf16: bool = False):
-    """Forward spectra via the conv-folded hoisted-Toeplitz kernel.
+                         power: bool = False):
+    """Forward spectra via the super-tiled hoisted-Toeplitz kernel.
 
-    Same hoisting strategy as _launch_spectra_toeplitz (all sequential
-    quantities become dense batched XLA ops; the grid is a stateless map)
-    with two structural changes:
-
-      * the window convolution is folded into the contraction table
-        (_spectra_tables_conv), so the kernel carries NO stencil — the
-        per-tile carry is applied in the convolved domain through the
-        launcher-computed rows E0 = c0*C0, S_h = c_h*(C0>>h + C0<<h),
-        T_h = c_h*(C0>>h - C0<<h) and the phasor columns phi_h;
-      * ``super_r`` tiles are emitted per grid step with ONE
-        (R*K, 3K) @ (3K, 2W) contraction, so the Toeplitz depth K (the
-        MXU work per sample) shrinks without multiplying per-step
-        overheads.
+    The launcher computes every sequential quantity with dense batched
+    XLA ops over all tiles at once (per-tile totals via one GEMM, the
+    rotated prefix carry c0, the next accumulator, the Hermitian top-edge
+    fix columns — see _spectra_prologue), leaving the Pallas grid a
+    stateless map; ``super_r`` tiles are emitted per grid step with ONE
+    (R*K, 3K) @ (3K, 2W) contraction, so the Toeplitz depth K (the MXU
+    work per sample) shrinks without multiplying per-step overheads.
     """
     m = plan.dftsize
     n2 = 2 * m
@@ -1301,46 +762,22 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
     K = tile_k
     R = super_r
     halo = WINDOW_HALO[plan.window]
-    MP = _round_up(m, 128)
-    if direct:
-        (fine_re, fine_im, dmf_re, dmf_im, b_c1, b_c2, phi,
-         *coarse) = tables
-    else:
-        (fine_re, fine_im, dmf_re, dmf_im, b_c1, phi, *coarse) = tables
-        b_c2 = None
+    (fine_re, fine_im, dmf_re, dmf_im, b_c1, *coarse) = tables
 
     (delta, dt, nt, new_delayline, c0_re, c0_im, acc_out, fix
      ) = _spectra_prologue(plan, state, samples, K, fine_re, fine_im, coarse)
 
-    # carry rows: fold_conv packs the convolved-domain rows
-    # [E0_re, E0_im, (S_h_re, S_h_im, T_h_re, T_h_im) for h=1..halo] per
-    # tile; the unfolded kernel needs only (c0_re, c0_im).  The per-tile
-    # stride is padded so R*stride rows (one grid block) stay divisible
-    # by 8 (the f32 sublane tile).
+    # carry rows (c0_re, c0_im) per tile; the per-tile stride is padded so
+    # R*stride rows (one grid block) stay divisible by 8 (the f32 sublane
+    # tile).
     import math as _math
 
-    wgt = plan.analysis_weight
-    taps = [np.float32(c * wgt) for c in WINDOW_TAPS[plan.window]]
-    if fold_conv or direct:   # convolved-domain carry rows (E0, S_h, T_h)
-        rows = [taps[0] * c0_re, taps[0] * c0_im]
-        for h in range(1, halo + 1):
-            cp_re = jnp.pad(c0_re[:, h:], ((0, 0), (0, h)))     # C0[i+h]
-            cp_im = jnp.pad(c0_im[:, h:], ((0, 0), (0, h)))
-            cm_re = jnp.pad(c0_re[:, :-h], ((0, 0), (h, 0)))    # C0[i-h]
-            cm_im = jnp.pad(c0_im[:, :-h], ((0, 0), (h, 0)))
-            rows += [taps[h] * (cp_re + cm_re), taps[h] * (cp_im + cm_im),
-                     taps[h] * (cp_re - cm_re), taps[h] * (cp_im - cm_im)]
-    else:
-        rows = [c0_re, c0_im]
+    rows = [c0_re, c0_im]
     nrows = len(rows)
     req = 8 // _math.gcd(R, 8)
     stride = -(-nrows // req) * req
     rows += [jnp.zeros_like(c0_re)] * (stride - nrows)
-    if direct:
-        # the direct kernel works on the m-window (no pad columns)
-        rows = [rr[:, PAD:PAD + MP] for rr in rows]
-    CW = MP if direct else W
-    crows = jnp.stack(rows, axis=1).reshape(nt * stride, CW)
+    crows = jnp.stack(rows, axis=1).reshape(nt * stride, W)
 
     # pad the per-tile streams to whole super-steps (zero tiles are inert:
     # their junk output rows fall beyond M and the partial final out block)
@@ -1363,67 +800,32 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
         fix = jnp.concatenate([fpow, jnp.zeros_like(fpow)], axis=-1)
 
     nfix = fix.shape[-1]
-    # manual ping-pong output DMA measured IDENTICAL to Mosaic's automatic
-    # out-block pipelining (docs/PERF.md round-4: the kernel is VMEM-bound,
-    # not store-bound) and its ANY-space outputs do not vmap — keep the
-    # machinery for re-measurement but ship the automatic path
-    manual_out = False
+    # NOTE manual ping-pong output DMA measured IDENTICAL to Mosaic's
+    # automatic out-block pipelining (docs/PERF.md round-4) — the
+    # machinery was retired in round 5 with the other rejected variants
     if interpret:
         table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         scratch = []
-        out_specs = (pl.BlockSpec((R * K, m), lambda t: (t, 0),
-                                  memory_space=pltpu.VMEM),) * 2
     else:
         table_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # HBM; the kernel
-        ddt = jnp.bfloat16 if lean else jnp.float32
-        if direct:
-            scratch = [                                # DMAs at t==0
-                pltpu.VMEM((K, MP), ddt),              # dmf re (m-window)
-                pltpu.VMEM((K, MP), ddt),              # dmf im
-                pltpu.VMEM((3 * K, MP), jnp.bfloat16),  # conv B re
-                pltpu.VMEM((3 * K, MP), jnp.bfloat16),  # conv B im
-                pltpu.SemaphoreType.DMA((4,)),
-            ]
-        else:
-            scratch = [                                # DMAs at t==0
-                pltpu.VMEM((K, W), ddt),               # dmf re
-                pltpu.VMEM((K, W), ddt),               # dmf im
-                # shape from the table itself: the roofline probe widens
-                # b_conv with junk columns to inflate ONLY the dots temp
-                pltpu.VMEM(tuple(b_c1.shape), jnp.bfloat16),
-                pltpu.SemaphoreType.DMA((3,)),
-            ]
-        if manual_out:
-            scratch += [
-                pltpu.VMEM((2 * R * K, m), odt),       # out stage re (x2)
-                pltpu.VMEM((2 * R * K, m), odt),       # out stage im
-                pltpu.SemaphoreType.DMA((2, 2)),       # (slot, plane)
-            ]
-            # outputs stay in HBM; the kernel ping-pong-stages and DMAs
-            # them itself (see _kernel_spectra_conv manual_out docstring)
-            out_specs = (pl.BlockSpec(memory_space=pltpu.ANY),) * 2
-        else:
-            out_specs = (pl.BlockSpec((R * K, m), lambda t: (t, 0),
-                                      memory_space=pltpu.VMEM),) * 2
-        if dmf_shadow:
-            scratch += [pltpu.VMEM((R * K, W), jnp.float32),
-                        pltpu.VMEM((R * K, W), jnp.float32)]
+        scratch = [                                # DMAs at t==0
+            pltpu.VMEM((K, W), jnp.float32),           # dmf re
+            pltpu.VMEM((K, W), jnp.float32),           # dmf im
+            pltpu.VMEM((3 * K, 2 * W), jnp.bfloat16),  # stacked conv B
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
+    out_specs = (pl.BlockSpec((R * K, m), lambda t: (t, 0),
+                              memory_space=pltpu.VMEM),) * 2
     kernel = functools.partial(_kernel_spectra_conv, plan=plan, tile_k=K,
                                super_r=R, nfixed=halo, crow_stride=stride,
-                               fold_conv=fold_conv, manual_out=manual_out,
-                               n_out=M, n_steps=nts, lean=lean,
-                               direct=direct, power=power,
-                               dma_tables=not interpret,
-                               dmf_shadow=dmf_shadow and not interpret,
-                               dots_bf16=dots_bf16)
-    table_inputs = ((dmf_re, dmf_im, b_c1, b_c2) if direct
-                    else (dmf_re, dmf_im, b_c1))
+                               power=power, dma_tables=not interpret)
+    table_inputs = (dmf_re, dmf_im, b_c1)
     n_outs = 1 if power else 2
     outs = pl.pallas_call(
         kernel,
         grid=(nts,),
         in_specs=[
-            pl.BlockSpec((R * stride, CW), lambda t: (t, 0),
+            pl.BlockSpec((R * stride, W), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),        # carry rows
             pl.BlockSpec((R * K, nfix), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),        # fix cols
@@ -1431,18 +833,16 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
                          memory_space=pltpu.VMEM),        # toep hi
             pl.BlockSpec((R * K, K), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),        # toep lo
-            pl.BlockSpec((K, 128), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),        # phi columns
         ] + [table_spec] * len(table_inputs),
         out_shape=(jax.ShapeDtypeStruct((M, m), odt),) * n_outs,
         out_specs=out_specs[:n_outs],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=None if interpret else DIM_SEMANTICS,
+            dimension_semantics=None if interpret else _DIM_SEMANTICS,
             has_side_effects=True),
         interpret=interpret,
-    )(crows, fix, toep_hi, toep_lo, phi, *table_inputs)
+    )(crows, fix, toep_hi, toep_lo, *table_inputs)
 
     new_state = State(
         offset=jnp.mod(state.offset + M, n2).astype(state.offset.dtype),
@@ -1580,8 +980,7 @@ def _launch(plan: Plan, state: State, samples, emit_dfts: bool, emit_y: bool,
     return new_state, dfts, y
 
 
-def _toepconv_config(plan: Plan, out_dtype, tile_k, super_r, fold_conv,
-                     direct, lean=False):
+def _toepconv_config(plan: Plan, out_dtype, tile_k, super_r):
     """Resolve the super-tiled kernel's (K, R, tables) for an output
     element type — shared by forward_block_pallas and forward_block_power
     so the tiling heuristics and table selection cannot drift apart."""
@@ -1589,10 +988,8 @@ def _toepconv_config(plan: Plan, out_dtype, tile_k, super_r, fold_conv,
     odt_bytes = 2 if out_dtype == "bfloat16" else 4
     pick = _conv_pick_tiles(m, odt_bytes)
     if pick is None:
-        # No VMEM-feasible configuration: refuse loudly rather than
-        # silently falling back to toephoist (which has no ROI support
-        # and its own VMEM hazard).  plan_supported reports this case
-        # False, so api dispatch routes to XLA instead.
+        # No VMEM-feasible configuration: refuse loudly.  plan_supported
+        # reports this case False, so api dispatch routes to XLA instead.
         raise ValueError(
             f"dftsize {m} has no VMEM-feasible spectra-"
             "kernel tiling; use the XLA path (plan_supported is False)")
@@ -1610,19 +1007,12 @@ def _toepconv_config(plan: Plan, out_dtype, tile_k, super_r, fold_conv,
                 f"spectra-kernel tiling tile_k={K}, super_r={R} needs "
                 f"~{est / 2**20:.0f} MB of VMEM at dftsize {m} "
                 "(budget 80 MB); lower tile_k/super_r or leave them unset")
-    if direct:
-        tables = (_spectra_tables_direct(plan, K, lean)
-                  + _coarse_rows_host(plan, K))
-    else:
-        tables = (_spectra_tables_conv(plan, K, fold_conv, lean)
-                  + _coarse_rows_host(plan, K))
-    return K, R, tables
+    return K, R, _spectra_tables_conv(plan, K) + _coarse_rows_host(plan, K)
 
 
 def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
                          cumsum_mode="toepconv", tile_k=None,
-                         layout="packed", out_dtype=None, super_r=None,
-                         fold_conv=False, direct=False):
+                         layout="packed", out_dtype=None, super_r=None):
     """Fused forward analysis.
 
     Returns (state, dfts) with dfts packed (M, m, 2), or — with
@@ -1630,41 +1020,23 @@ def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
     native output with no interleaving pass (the fast path for
     magnitude/spectrogram consumers that read the planes independently).
     ``out_dtype="bfloat16"`` (planar only) additionally halves the O(M*m)
-    spectra write — the forward path's roofline; the internal scan stays
-    exact f32, only the emitted planes are rounded.
+    spectra write; the internal scan stays exact f32, only the emitted
+    planes are rounded.
 
     ``cumsum_mode`` selects the kernel: "toepconv" (default) is the
-    super-tiled hoisted-Toeplitz kernel (_kernel_spectra_conv; measured
-    optimum, ROI-capable, with the fold_conv/direct variants for A/B);
-    "toephoist" is the round-3 single-tile kernel (_kernel_spectra); the
-    in-kernel scan variants ("mxu2"/"mxu3"/"vpu"/"mxu_f32") remain for
-    the fused round trip and A/B measurement.
+    super-tiled hoisted-Toeplitz kernel (_kernel_spectra_conv — the
+    shipped spectra path, ROI-capable); the in-kernel scan variants
+    ("mxu2"/"mxu3"/"vpu"/"mxu_f32") remain for the fused round trip and
+    A/B measurement.  The round-3 "toephoist" kernel and the fold_conv/
+    direct/manual_out/lean A/B variants were retired in round 5 — every
+    measurement rejected them (docs/PERF.md round-5 pruning note).
     """
-    if cumsum_mode not in ("toepconv", "toephoist", "mxu2", "mxu3", "vpu",
-                           "mxu_f32"):
+    if cumsum_mode not in ("toepconv", "mxu2", "mxu3", "vpu", "mxu_f32"):
         raise ValueError(f"unknown cumsum_mode {cumsum_mode!r}")
-    if cumsum_mode == "toephoist" and (
-            plan.roi is not None
-            or not _toephoist_vmem_ok(plan.dftsize,
-                                      tile_k or SPECTRA_TILE_K)):
-        # ROI folds into the toepconv tables; large dftsizes whose
-        # toephoist tables would exceed the VMEM budget (ADVICE r3 #2)
-        # take the auto-sized toepconv configuration instead
-        cumsum_mode = "toepconv"
-        tile_k = None
     if cumsum_mode == "toepconv":
-        K, R, tables = _toepconv_config(plan, out_dtype, tile_k, super_r,
-                                        fold_conv, direct)
+        K, R, tables = _toepconv_config(plan, out_dtype, tile_k, super_r)
         return _launch_spectra_conv(plan, state, samples, tables,
-                                    interpret, K, R, layout, out_dtype,
-                                    fold_conv, False, direct)
-    if cumsum_mode == "toephoist":
-        if tile_k is None:
-            tile_k = SPECTRA_TILE_K  # measured optimum for this kernel
-        tables = (_spectra_tables(plan, tile_k)
-                  + _coarse_rows_host(plan, tile_k))
-        return _launch_spectra_toeplitz(plan, state, samples, tables,
-                                        interpret, tile_k, layout, out_dtype)
+                                    interpret, K, R, layout, out_dtype)
     if tile_k is None:
         tile_k = TILE_K
     new_state, dfts, _ = _launch(plan, state, samples, True, False, interpret,
@@ -1673,18 +1045,15 @@ def forward_block_pallas(plan: Plan, state: State, samples, interpret=False,
 
 
 def forward_block_power(plan: Plan, state: State, samples, interpret=False,
-                        out_dtype=None, tile_k=None, super_r=None,
-                        fold_conv=False, direct=False):
+                        out_dtype=None, tile_k=None, super_r=None):
     """Fused forward analysis emitting the POWER spectrum |dft|^2 only —
     one (M, m) plane instead of the (re, im) pair, halving the output
-    write (the path's roofline, docs/PERF.md) for spectrogram/magnitude
-    consumers.  ``out_dtype="bfloat16"`` halves it again.  The internal
-    scan stays exact f32; squaring happens at the store."""
-    K, R, tables = _toepconv_config(plan, out_dtype, tile_k, super_r,
-                                    fold_conv, direct)
+    write for spectrogram/magnitude consumers.  ``out_dtype="bfloat16"``
+    halves it again.  The internal scan stays exact f32; squaring happens
+    at the store."""
+    K, R, tables = _toepconv_config(plan, out_dtype, tile_k, super_r)
     return _launch_spectra_conv(plan, state, samples, tables, interpret,
-                                K, R, "planar", out_dtype, fold_conv,
-                                False, direct, True)
+                                K, R, "planar", out_dtype, True)
 
 
 def roundtrip_block_fused(plan: Plan, state: State, samples, interpret=False,

@@ -83,11 +83,15 @@ def test_odd_shapes_vs_naive_oracle(m, window, latency, block, hop):
 
 
 PALLAS_CASES = [
-    # (m, window, roi, mode_kwargs)
-    (136, "hann", None, dict(cumsum_mode="toepconv", fold_conv=False)),
-    (136, "blackman", (3, 130), dict(cumsum_mode="toepconv", fold_conv=True)),
-    (256, "hamming", (32, 200), dict(cumsum_mode="toepconv", direct=True)),
-    (256, "boxcar", None, dict(cumsum_mode="toephoist")),
+    # (m, window, roi, mode_kwargs) — shipped toepconv kernel across
+    # windows/ROI/tilings (the fold/direct/toephoist variants were retired
+    # in round 5, docs/PERF.md pruning note)
+    (136, "hann", None, dict(cumsum_mode="toepconv")),
+    (136, "blackman", (3, 130), dict(cumsum_mode="toepconv")),
+    (256, "hamming", (32, 200), dict(cumsum_mode="toepconv", tile_k=32,
+                                     super_r=2)),
+    (256, "boxcar", None, dict(cumsum_mode="toepconv", tile_k=64,
+                               super_r=1)),
     (1000, "hann", None, dict(cumsum_mode="toepconv", tile_k=32, super_r=3)),
 ]
 
