@@ -269,31 +269,48 @@ def bench_tpu():
 
     # degenerate-hop driver protocol at hop=1 (the reference's founding
     # efficiency claim, README.md:18): every sample emits a spectrum, so
-    # the O(B*m) spectra write joins the fused body.  The chain reduces
-    # each block's outputs in-program (stacking 2080 blocks of (B, m, 2)
-    # spectra would exhaust HBM).
+    # the O(B*m) spectra write joins the fused body.  On TPU the chain
+    # routes spectra through the fused Pallas kernel (ops.lti hop==1
+    # route, measured ~1.5x the stepped XLA body and scaling with block);
+    # the bench chain reduces each block's outputs in-program (stacking
+    # hundreds of (B, m, 2) spectra blocks would exhaust HBM).
     from sdft_tpu.ops.lti import (_fused_driver_consts, _fused_driver_nd,
-                                  driver_sub_factor)
+                                  driver_sub_factor, refresh_state_any,
+                                  roundtrip_block_lti)
 
-    HOP1_BLOCK, K_HI_H1 = 2000, 520
-    sub1 = driver_sub_factor(1)
-    consts1 = _fused_driver_consts(plan_drv, 1, sub1)
+    HOP1_BLOCK, K_HI_H1 = 8000, 260
+    if use_pallas:
+        @functools.partial(jax.jit, static_argnums=2)
+        def hop1_many(state, xs, k):
+            def body(st, x):
+                _, hd = forward_block_pallas(plan_drv, st, x)
+                st, y = roundtrip_block_lti(plan_drv, st, x)
+                st = refresh_state_any(plan_drv, st)
+                return st, jnp.sum(y * y) + jnp.sum(hd[0, 0, 0])
+            st, ys = lax.scan(body, state, xs[:k])
+            return jnp.sum(ys)
 
-    @functools.partial(jax.jit, static_argnums=2)
-    def hop1_many(state, xs, k):
-        def body(st, x):
-            st, hd, y = _fused_driver_nd(plan_drv, st, x[None], consts1, 1,
-                                         True, sub1)
-            return st, jnp.sum(y * y) + jnp.sum(hd[..., 0, 0, 0])
-        st, ys = lax.scan(body, state, xs[:k])
-        return jnp.sum(ys)
+        st_h1 = init_state(plan_drv)
+        xs_h1 = randn((K_HI_H1, HOP1_BLOCK))
+    else:
+        sub1 = driver_sub_factor(1)
+        consts1 = _fused_driver_consts(plan_drv, 1, sub1)
 
-    xs_h1 = randn((K_HI_H1, HOP1_BLOCK))
-    per_h1, sig_h1, _, _ = marginal(hop1_many,
-                                    init_state(plan_drv, channels=1),
-                                    xs_h1, K_HI_H1, n=4)
+        @functools.partial(jax.jit, static_argnums=2)
+        def hop1_many(state, xs, k):
+            def body(st, x):
+                st, hd, y = _fused_driver_nd(plan_drv, st, x[None], consts1,
+                                             1, True, sub1)
+                return st, jnp.sum(y * y) + jnp.sum(hd[..., 0, 0, 0])
+            st, ys = lax.scan(body, state, xs[:k])
+            return jnp.sum(ys)
+
+        st_h1 = init_state(plan_drv, channels=1)
+        xs_h1 = randn((K_HI_H1, HOP1_BLOCK))
+    per_h1, sig_h1, _, _ = marginal(hop1_many, st_h1, xs_h1, K_HI_H1, n=4)
     rate_h1 = HOP1_BLOCK / per_h1
-    log(f"tpu driver protocol hop=1 (block={HOP1_BLOCK}): "
+    log(f"tpu driver protocol hop=1 (block={HOP1_BLOCK}, "
+        f"{'pallas' if use_pallas else 'stepped'}): "
         f"{per_h1 * 1e3:.3f} ms/block (signal {sig_h1:.0%}) "
         f"-> {rate_h1:,.0f} samples/s")
     del xs_h1

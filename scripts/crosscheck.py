@@ -147,6 +147,30 @@ def main(argv=None):
               f"(tolerance 1e-12)")
         assert xerr < 1e-12, xerr
 
+        # the framework's own extended tier (Precision(fd="float32x2"),
+        # double-word f32 arithmetic — the on-device long-double analogue)
+        # closes the triangle against the native extended tier: df spectra
+        # must match eng80's f64-cast output at the f64-class tolerance,
+        # on ANY backend (the tier never uses float64)
+        from sdft_tpu import Plan as _Plan, Precision as _Prec, init_state
+        from sdft_tpu import df_to_float64, sdft as _sdft
+
+        nseg = min(size, 4 * hopsize)
+        plan_x2 = _Plan(dftsize, window=window, latency=latency,
+                        precision=_Prec("float32", "float32x2"))
+        _, ddf = _sdft(plan_x2, init_state(plan_x2),
+                       x[:nseg].astype(np.float32))
+        got_df = df_to_float64((np.asarray(ddf[..., 0]),
+                                np.asarray(ddf[..., 1])))
+        got_df = got_df[..., 0] + 1j * got_df[..., 1]
+        eng80.reset()
+        want80 = eng80.sdft(x[:nseg].astype(np.float32).astype(np.float64))
+        x2err = float(np.abs(got_df - want80).max())
+        x2scale = float(np.abs(want80).max())
+        print(f"float32x2 tier vs native fd80 dft max rel diff: "
+              f"{x2err / x2scale:.3e} (tolerance 1e-9)")
+        assert x2err < 1e-9 * x2scale, (x2err, x2scale)
+
         dfts_tpu = load_complex(str(out_dft), dftsize)
         y_tpu, _ = read_wav(str(out_wav))
 

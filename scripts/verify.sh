@@ -57,5 +57,6 @@ python examples/latency.py
 python examples/stft_window_test.py
 python examples/transform.py
 python examples/streaming.py
+python examples/precision.py
 
 echo "verify OK"

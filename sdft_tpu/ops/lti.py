@@ -902,29 +902,78 @@ def roundtrip_hopped_chain(plan: Plan, state: State, xs: jnp.ndarray,
         raise ValueError(
             f"block length ({xs.shape[-1]}) must be a multiple of the "
             f"hop ({hop})")
+    if hop == 1:
+        # at hop=1 EVERY sample emits a spectrum — the O(B*m) spectra
+        # write dominates, and the fused Pallas forward kernel beats the
+        # stepped XLA body ~3x (which materializes several complex (B, m)
+        # temps through HBM).  Route to kernel-spectra + collapsed-LTI
+        # synthesis per block when the plan rides the Pallas fast path.
+        from ..kernels import pallas_supported, plan_supported
+
+        if pallas_supported() and plan_supported(plan, int(xs.shape[-1])):
+            return _chain_hop1_pallas_jit(plan, state, xs, refresh_every,
+                                          False)
     sub = driver_sub_factor(hop, k_tile or 8)
     consts = _fused_driver_consts(plan, hop, sub)
     return _chain_fused_jit(plan, state, xs, consts, hop, refresh_every,
                             sub)
 
 
+def refresh_state_any(plan: Plan, st: State) -> State:
+    """_refresh_fused over a batched OR unbatched state (the batch
+    axis is added/stripped as needed) — the one shared implementation for
+    every chain body and bench harness."""
+    fd = plan.precision.fd_dtype
+    if st.offset.ndim == 0:
+        stb = jax.tree.map(lambda a: a[None], st)
+        return jax.tree.map(lambda a: a[0], _refresh_fused(plan, stb, fd))
+    return _refresh_fused(plan, st, fd)
+
+
 def _chain_refresh(plan: Plan, refresh_every, body_out_state, since):
     """Shared refresh-cadence logic for the chain bodies; returns
     (state, since).  refresh_every in (None, 1) is handled statically by
     the callers."""
-    fd = plan.precision.fd_dtype
-
-    def _refresh(st: State) -> State:
-        if st.offset.ndim == 0:
-            st = jax.tree.map(lambda a: a[None], st)
-            return jax.tree.map(lambda a: a[0], _refresh_fused(plan, st, fd))
-        return _refresh_fused(plan, st, fd)
-
     since = since + 1
-    st = jax.lax.cond(since >= refresh_every, _refresh, lambda s: s,
+    st = jax.lax.cond(since >= refresh_every,
+                      lambda s: refresh_state_any(plan, s), lambda s: s,
                       body_out_state)
     since = jnp.where(since >= refresh_every, 0, since)
     return st, since
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _chain_hop1_pallas_jit(plan: Plan, state: State, xs,
+                           refresh_every: int | None,
+                           interpret: bool = False):
+    """hop=1 driver chain through the fused Pallas spectra kernel: per
+    block, kernel spectra (every sample's DFT IS that hop's spectrum) from
+    the in-state plus the collapsed-LTI synthesis that advances it.  The
+    spectra carry the kernel's documented bf16-split contraction class
+    (~2e-7 relative, same as api.sdft on TPU); the synthesis and carry
+    stay exact-f32."""
+    from ..kernels import forward_block_pallas
+
+    def body(carry, x):
+        st, since = carry
+        if x.ndim == 1:
+            _, hd = forward_block_pallas(plan, st, x, interpret=interpret)
+        else:
+            _, hd = jax.vmap(
+                lambda s, xx: forward_block_pallas(plan, s, xx,
+                                                   interpret=interpret)
+            )(st, x)
+        st, y = roundtrip_block_lti(plan, st, x)
+        if refresh_every is None:
+            return (st, since), (hd, y)
+        if refresh_every == 1:
+            return (refresh_state_any(plan, st), since), (hd, y)
+        st, since = _chain_refresh(plan, refresh_every, st, since)
+        return (st, since), (hd, y)
+
+    (state, _), (hdfts, ys) = jax.lax.scan(
+        body, (state, jnp.zeros((), jnp.int32)), xs)
+    return state, hdfts, ys
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
@@ -979,31 +1028,41 @@ def sdft_hopped(plan: Plan, state: State, samples: jnp.ndarray, hop: int):
     Channels fold into the contraction row dims (see roundtrip_block_lti).
     """
     samples = jnp.asarray(samples)
-    consts = _hop_consts_device(plan, hop, str(plan.precision.fd_dtype))
+    fd_s = str(plan.precision.fd_dtype)
+    # degenerate hops (< 8) ride multi-hop tiles: K = hop*sub with the
+    # stepped INCLUSIVE partial-totals table, so a 1-sample hop keeps a
+    # full-depth contraction instead of (nt, 1) @ (1, m) matvecs (same
+    # identity as the fused driver, _stepped_consts_device)
+    sub = driver_sub_factor(hop)
+    consts = _hop_consts_device(plan, hop * sub, fd_s)
+    if sub > 1:
+        consts = consts + _stepped_consts_device(plan, hop, sub, fd_s)
     if samples.ndim == 1:
         st = jax.tree.map(lambda a: a[None], state)
-        new_st, d = _hopped_jit(plan, st, samples[None], consts, hop)
+        new_st, d = _hopped_jit(plan, st, samples[None], consts, hop, sub)
         return jax.tree.map(lambda a: a[0], new_st), d[0]
-    return _hopped_jit(plan, state, samples, consts, hop)
+    return _hopped_jit(plan, state, samples, consts, hop, sub)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
-def _hopped_jit(plan: Plan, state: State, samples, consts, hop: int):
-    return _hopped_nd(plan, state, samples, consts, hop)
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _hopped_jit(plan: Plan, state: State, samples, consts, hop: int,
+                sub: int = 1):
+    return _hopped_nd(plan, state, samples, consts, hop, sub)
 
 
 def _hopped_nd(plan: Plan, state: State, samples: jnp.ndarray, consts,
-               hop: int):
+               hop: int, sub: int = 1):
     m = plan.dftsize
     n2 = 2 * m
     td = plan.precision.td_dtype
     fd = plan.precision.fd_dtype
     cd = plan.precision.fdx_dtype
     C, M = samples.shape
-    nt = -(-M // hop)
-    Mp = nt * hop
+    K = hop * sub
+    nt = -(-M // K)
+    Mp = nt * K
 
-    fine_re, fine_im = consts
+    fine_re, fine_im, *stepped = consts
     if plan.roi is not None:
         first, last = plan.roi
         roi_mask = ((np.arange(m) >= first) & (np.arange(m) < last))
@@ -1016,13 +1075,13 @@ def _hopped_nd(plan: Plan, state: State, samples: jnp.ndarray, consts,
     new_delayline = line[:, M:]
     if Mp != M:
         delta = jnp.pad(delta, ((0, 0), (0, Mp - M)))
-    dt = delta.reshape(C, nt, hop)
+    dt = delta.reshape(C, nt, K)
 
     hi = plan.precision.mxu_precision
     totals_re = jnp.dot(dt, fine_re, precision=hi, preferred_element_type=fd)
     totals_im = jnp.dot(dt, fine_im, precision=hi, preferred_element_type=fd)
 
-    row_re, row_im = _phase_rows(state.offset, nt, hop, m, fd)
+    row_re, row_im = _phase_rows(state.offset, nt, K, m, fd)
     row0 = row_re + 1j * row_im
     totals = (totals_re + 1j * totals_im).astype(cd)
 
@@ -1034,14 +1093,29 @@ def _hopped_nd(plan: Plan, state: State, samples: jnp.ndarray, consts,
         [jnp.zeros_like(inc[:, :1]), inc[:, :-1]], axis=1)
     acc_out = pack((acc_in[:, 0] + inc[:, -1]).astype(cd))
 
-    # accumulator right after each tile's first sample, then demodulate by
-    # conj(T^(e0+1)) = conj(row0) * conj(T_j)  (c/src/sdft/sdft.h:585)
-    d0 = dt[:, :, 0].astype(cd)[..., None]
-    acc_sel = prefix + d0 * (row0 if plan.roi is None
-                             else row0 * jnp.asarray(roi_mask, fd))
-    conj_base = jnp.exp(1j * (np.pi / m)
-                        * jnp.arange(m, dtype=jnp.int32).astype(fd)).astype(cd)
-    aux = acc_sel * jnp.conj(row0) * conj_base
+    if sub == 1:
+        # accumulator right after each tile's first sample, demodulated by
+        # conj(T^(e0+1)) = conj(row0) * conj(T_j)  (c/src/sdft/sdft.h:585)
+        d0 = dt[:, :, 0].astype(cd)[..., None]
+        acc_sel = prefix + d0 * (row0 if plan.roi is None
+                                 else row0 * jnp.asarray(roi_mask, fd))
+        conj_base = jnp.exp(1j * (np.pi / m)
+                            * jnp.arange(m, dtype=jnp.int32).astype(fd)
+                            ).astype(cd)
+        aux = acc_sel * jnp.conj(row0) * conj_base
+    else:
+        # inner hops via the inclusive stepped partial totals: the spectrum
+        # at hop j of a tile is (c0 + ptotals_j) * T^-(j*hop+1)
+        sf_re, sf_im, dr_re, dr_im = stepped
+        c0 = prefix * jnp.conj(row0)
+        pt_re = jnp.dot(dt, sf_re, precision=hi,
+                        preferred_element_type=fd).reshape(C, nt, sub, m)
+        pt_im = jnp.dot(dt, sf_im, precision=hi,
+                        preferred_element_type=fd).reshape(C, nt, sub, m)
+        u = c0[:, :, None, :] + (pt_re + 1j * pt_im).astype(cd)
+        dr = (dr_re + 1j * dr_im).astype(cd)              # (sub, m)
+        nh = -(-M // hop)
+        aux = (u * dr).reshape(C, nt * sub, m)[:, :nh]
 
     from .convolve import window_convolve
     out = window_convolve(plan, aux)

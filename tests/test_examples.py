@@ -43,6 +43,11 @@ def test_example_stft_window_test(monkeypatch):
     mod.main()
 
 
+def test_example_precision(monkeypatch):
+    mod = _load("precision", monkeypatch)
+    mod.main()
+
+
 def test_example_analysis(monkeypatch, tmp_path):
     pytest.importorskip("matplotlib")
     monkeypatch.chdir(tmp_path)          # analysis.png lands in cwd

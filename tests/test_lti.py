@@ -186,6 +186,31 @@ def test_sdft_hopped_matches_sliced_full():
                                np.asarray(s_full.accumulator), atol=1e-12)
 
 
+@pytest.mark.parametrize("hop", [1, 2, 3, 5, 7])
+def test_sdft_hopped_degenerate_matches_sliced_full(hop):
+    """hop < 8 rides the stepped multi-hop tiles; must equal slicing the
+    full spectra at hop starts, chained across blocks (independent of the
+    fused-driver machinery that shares the stepped identity)."""
+    from sdft_tpu import sdft, sdft_hopped
+
+    m = 96
+    plan = Plan(m, window="blackman", precision=F64, roi=(4, 90))
+    B = hop * 24 + hop - 1          # partial last hop: spectrum still due
+    x = _signal(2 * B, seed=13)
+
+    s_full = init_state(plan)
+    s_hop = init_state(plan)
+    for b in range(2):
+        blk = x[b * B:(b + 1) * B]
+        s_full, d_full = sdft(plan, s_full, blk)
+        s_hop, d_hop = sdft_hopped(plan, s_hop, blk, hop)
+        assert np.asarray(d_hop).shape == (-(-B // hop), m, 2)
+        np.testing.assert_allclose(np.asarray(d_hop),
+                                   np.asarray(d_full)[::hop], atol=1e-13)
+    np.testing.assert_allclose(np.asarray(s_hop.accumulator),
+                               np.asarray(s_full.accumulator), atol=1e-12)
+
+
 def test_sdft_hopped_batched():
     from sdft_tpu import sdft, sdft_hopped
 

@@ -251,6 +251,48 @@ def test_toepconv_kernel_matches_xla(m, M, window):
                                   np.asarray(st_x.delayline))
 
 
+def test_hop1_pallas_chain_matches_stepped():
+    """The hop=1 driver chain's Pallas route (kernel spectra + LTI
+    synthesis per block) equals the stepped XLA chain at the kernel's
+    documented contraction class, including the carried state."""
+    from sdft_tpu.ops.lti import (_chain_fused_jit, _chain_hop1_pallas_jit,
+                                  _fused_driver_consts, driver_sub_factor)
+
+    plan = Plan(256, window="hann", precision=F32)
+    nb, B = 3, 384
+    xs = _signal(nb * B, seed=29).astype(np.float32).reshape(nb, B)
+
+    # build the stepped XLA reference EXPLICITLY — on a TPU backend the
+    # public chain would itself route to the Pallas body and this test
+    # would compare the new route against itself
+    sub1 = driver_sub_factor(1)
+    consts1 = _fused_driver_consts(plan, 1, sub1)
+    st_x = init_state(plan)
+    st_x, hd_x, ys_x = _chain_fused_jit(plan, st_x, xs, consts1, 1, 1, sub1)
+    st_p = init_state(plan)
+    st_p, hd_p, ys_p = _chain_hop1_pallas_jit(plan, st_p, xs, 1, True)
+    assert hd_p.shape == hd_x.shape == (nb, B, 256, 2)
+    scale = np.abs(np.asarray(hd_x)).max()
+    assert np.abs(np.asarray(hd_p) - np.asarray(hd_x)).max() < 5e-6 * scale
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_p.accumulator),
+                               np.asarray(st_x.accumulator), atol=1e-4)
+
+    # channel-batched form
+    C = 2
+    xs_c = _signal(nb * C * B, seed=30).astype(np.float32).reshape(nb, C, B)
+    st_x = init_state(plan, channels=C)
+    st_x, hd_x, ys_x = _chain_fused_jit(plan, st_x, xs_c, consts1, 1, 1,
+                                        sub1)
+    st_p = init_state(plan, channels=C)
+    st_p, hd_p, ys_p = _chain_hop1_pallas_jit(plan, st_p, xs_c, 1, True)
+    scale = np.abs(np.asarray(hd_x)).max()
+    assert np.abs(np.asarray(hd_p) - np.asarray(hd_x)).max() < 5e-6 * scale
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x),
+                               atol=1e-5)
+
+
 @pytest.mark.parametrize("roi", [(10, 100), (0, 200), (30, 256), (64, 128)])
 def test_toepconv_roi_matches_xla(roi):
     """ROI on the Pallas fast path (VERDICT r3 missing#2): masked bins fold

@@ -390,6 +390,29 @@ def test_sharded_pallas_spectra_on_tpu(oracle, signal):
     np.testing.assert_allclose(got, want, atol=5e-7, rtol=1e-4)
 
 
+def test_hop1_driver_chain_on_tpu(oracle, signal):
+    """The hop=1 driver chain on the real chip (routes through the fused
+    Pallas spectra kernel + collapsed-LTI synthesis): every sample's
+    spectrum + the synthesized block vs the f64 oracle."""
+    from sdft_tpu import roundtrip_hopped
+
+    B, nb = 1024, 2
+    plan = Plan(M_BINS, window="hann", precision=FAST_PRECISION)
+    eng = oracle(M_BINS, "hann", td_bits=64)
+    x = signal[:nb * B]
+    d_ref = eng.sdft(x.astype(np.float64))
+    y_ref = eng.isdft(d_ref)
+    scale = np.abs(d_ref).max()
+
+    st = init_state(plan)
+    st, hd, ys = roundtrip_hopped(plan, st, x.reshape(nb, B), 1)
+    assert np.asarray(hd).shape == (nb, B, M_BINS, 2)
+    got = to_complex(np.asarray(hd).reshape(-1, M_BINS, 2))
+    # kernel-spectra contraction class (~2e-7 relative, same as api.sdft)
+    assert np.abs(got - d_ref).max() < 3e-6 * scale
+    np.testing.assert_allclose(np.asarray(ys).reshape(-1), y_ref, atol=1e-4)
+
+
 def test_extended_twofloat_tier_on_tpu(oracle, signal):
     """The double-word (float32x2) FD tier on the real chip vs the f64
     oracle: f64-class spectra on hardware with NO float64 unit (the
