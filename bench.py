@@ -332,24 +332,34 @@ def bench_tpu():
     log(f"scaling projection (v5e ICI model, t_fixed={fixed_us:.0f} us, "
         f"{slope_ns:.2f} ns/sample): strong {proj['strong']}, "
         f"weak {proj['weak']}")
-    # best-of-2: the parent process's runtime threads add contention noise
-    # on this 2-core host, and the proxy's collectives are the quantity
-    # under test, not scheduler luck
+    # two captures, min-time estimator per leg: min t1 and min t2 are the
+    # least-contended runs (the parent bench process shares this 2-core
+    # host, so any single capture can be scheduler-poisoned in either
+    # direction — best-of-N *efficiency* would bias upward instead).
+    # Readings > 1.0 are cache superlinearity (the halved per-device
+    # block fits L2 where the full block spills) on top of a collective
+    # cost below the noise floor — see docs/PERF.md round-5.
+    caps = [r for r in (measure_scaling_proxy(1000, 131072)
+                        for _ in range(2)) if r]
     proxy = None
-    for _ in range(2):
-        r = measure_scaling_proxy(1000, 131072)
-        if r and (proxy is None or r["efficiency"] > proxy["efficiency"]):
-            proxy = r
-    if proxy:
+    if caps:
+        t1 = min(r["t1_ms"] for r in caps)
+        t2 = min(r["t2_ms"] for r in caps)
+        proxy = {"m": caps[0]["m"], "block": caps[0]["block"],
+                 "t1_ms": t1, "t2_ms": t2,
+                 "efficiency": round(t1 / (2 * t2), 4),
+                 "efficiency_per_capture":
+                     sorted(r["efficiency"] for r in caps)}
         log(f"scaling proxy (REAL 2-process Gloo, 1 core each): "
-            f"t1 {proxy['t1_ms']} ms vs t2 {proxy['t2_ms']} ms "
-            f"-> efficiency {proxy['efficiency']:.1%}")
+            f"t1 {t1} ms vs t2 {t2} ms -> efficiency "
+            f"{proxy['efficiency']:.1%} (captures "
+            f"{proxy['efficiency_per_capture']})")
     else:
         log("scaling proxy unavailable (worker spawn failed)")
 
     return rate, {
         "value_range": [round(rate_lo, 1), round(rate_hi, 1)],
-        "samples_per_s_block16k": round(rate2, 1),
+        "samples_per_s_block32k_autok": round(rate2, 1),
         "roundtrip_split4_samples_per_s": round(rate_s4, 1),
         "aggregate_samples_per_s_8ch": round(rate_c, 1),
         "aggregate_samples_per_s_8ch_split4": round(rate_c4, 1),

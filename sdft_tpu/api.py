@@ -266,6 +266,18 @@ def isdft(plan: Plan, dfts) -> jax.Array:
     if isinstance(dfts, np.ndarray) and np.iscomplexobj(dfts):
         dfts = from_complex(dfts, dtype=np.dtype(plan.precision.fd_dtype))
     dfts = jnp.asarray(dfts)
+    if plan.precision.extended:
+        # double-word tier: (..., M, m, 2, 2) (hi, lo) spectra in,
+        # correctly-rounded f32 samples out (ops.twofloat.isdft_block_df
+        # returns the full (hi, lo) pair for f64-class consumers)
+        from .ops.twofloat import isdft_block_df
+
+        if dfts.ndim not in (4, 5) or dfts.shape[-2:] != (2, 2):
+            raise ValueError(
+                "the float32x2 extended tier synthesizes from the packed "
+                f"(..., M, m, 2, 2) (hi, lo) spectra, got {dfts.shape}")
+        hi, lo = isdft_block_df(plan, dfts)
+        return hi.astype(plan.precision.td_dtype)
     if dfts.ndim not in (3, 4) or dfts.shape[-1] != 2:
         raise ValueError(
             f"dfts must be packed (M, m, 2) or (C, M, m, 2), got {dfts.shape}")

@@ -44,8 +44,9 @@ class Precision:
           ("float32" or "float64").  Reference default/recommendation is
           double (c/src/sdft/sdft.h:113-118).  "float32x2" selects the
           double-word extended tier (ops.twofloat): api.sdft computes
-          f64-class spectra from float32 pairs on any backend — the
-          TPU answer to the reference's `long double` FD tier; other
+          f64-class spectra from float32 pairs on any backend, and
+          api.isdft synthesizes correctly-rounded samples from them —
+          the TPU answer to the reference's `long double` FD tier; other
           entry points (roundtrip, sdft_power, ...) treat it as float32.
     """
 

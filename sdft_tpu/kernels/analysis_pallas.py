@@ -807,7 +807,7 @@ def _launch_spectra_conv(plan: Plan, state: State, samples, tables,
         table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         scratch = []
     else:
-        table_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # HBM; the kernel
+        table_spec = pl.BlockSpec(memory_space=pl.ANY)  # HBM; the kernel
         scratch = [                                # DMAs at t==0
             pltpu.VMEM((K, W), jnp.float32),           # dmf re
             pltpu.VMEM((K, W), jnp.float32),           # dmf im

@@ -332,6 +332,89 @@ def _sdft_block_df_jit(plan: Plan, state: State, samples):
     return new_state, dfts
 
 
+@functools.lru_cache(maxsize=None)
+def _synthesis_tables_df(plan: Plan):
+    """Synthesis twiddles as (re_hi, re_lo, im_hi, im_lo) split from the
+    f64 host evaluation (c/src/sdft/sdft.h:440,445 constants; ROI folds
+    into the table like ops.twiddle.synthesis_twiddles)."""
+    m = plan.dftsize
+    i = np.arange(m, dtype=np.float64)
+    if plan.latency == 1.0:
+        re = np.where(np.arange(m) % 2 == 0, 1.0, -1.0)
+        im = np.zeros(m)
+    else:
+        ang = -np.pi * plan.latency * i
+        w = 2.0 / (1.0 - np.cos(np.pi * plan.latency))
+        re = w * np.cos(ang)
+        im = w * np.sin(ang)
+    if plan.roi is not None:
+        first, last = plan.roi
+        mask = (np.arange(m) >= first) & (np.arange(m) < last)
+        re = re * mask
+        im = im * mask
+    out = []
+    for v in (re, im):
+        hi = v.astype(np.float32)
+        lo = (v - hi.astype(np.float64)).astype(np.float32)
+        out += [hi, lo]
+    with jax.ensure_compile_time_eval():
+        return tuple(jnp.asarray(a) for a in out)
+
+
+def _df_sum_last(p):
+    """Pairwise tree-sum of a df pair along the LAST axis (error O(eps^2)
+    per level — the compensated reduction of the m-term synthesis sum)."""
+    h, l = p
+    n = h.shape[-1]
+    while n > 1:
+        half = n // 2
+        s = df_add((h[..., :half], l[..., :half]),
+                   (h[..., half:2 * half], l[..., half:2 * half]))
+        if n % 2:
+            h = jnp.concatenate([s[0], h[..., 2 * half:]], axis=-1)
+            l = jnp.concatenate([s[1], l[..., 2 * half:]], axis=-1)
+            n = half + 1
+        else:
+            h, l = s
+            n = half
+    return h[..., 0], l[..., 0]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _isdft_block_df_jit(plan: Plan, dfts):
+    rh, rl, ih, il = _synthesis_tables_df(plan)
+    dre = (dfts[..., 0, 0], dfts[..., 0, 1])
+    dim = (dfts[..., 1, 0], dfts[..., 1, 1])
+    # Re(dft * tw) = Re(dft)*Re(tw) - Im(dft)*Im(tw), all in double-word
+    terms = df_add(df_mul(dre, (rh, rl)), df_neg(df_mul(dim, (ih, il))))
+    s = _df_sum_last(terms)
+    return df_mul(s, df_const(plan.synthesis_weight))
+
+
+def isdft_block_df(plan: Plan, dfts):
+    """Inverse synthesis in the double-word tier (the FD-precision leg of
+    the reference's extended dtypes applies to isdft too,
+    c/src/sdft/sdft.h:635-657): one sample per spectrum from the packed
+    (hi, lo) dfts that sdft_block_df emits.
+
+    Args:
+      plan: static plan.
+      dfts: (..., M, m, 2, 2) — trailing axes (re/im, hi/lo).
+
+    Returns:
+      (hi, lo) float32 pair of shape (..., M): an unevaluated sum
+      reaching the f64 class (df_to_float64 recovers it; ``hi`` alone is
+      the correctly-rounded float32 sample — a plain f32 reduction would
+      carry ~sqrt(m)*2^-24 instead).
+    """
+    dfts = jnp.asarray(dfts)
+    if dfts.ndim < 3 or dfts.shape[-2:] != (2, 2):
+        raise ValueError(
+            f"dfts must be (..., M, m, 2, 2) double-word packed, "
+            f"got {dfts.shape}")
+    return _isdft_block_df_jit(plan, dfts)
+
+
 def sdft_block_df(plan: Plan, state: State, samples):
     """One block of forward analysis in the double-word tier.
 

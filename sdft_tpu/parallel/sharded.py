@@ -315,13 +315,20 @@ def _roundtrip_local_lti(plan: Plan, state: State, samples, fine_re, fine_im,
 
 
 def _hopped_local(plan: Plan, state: State, samples, fine_re, fine_im,
-                  *, hop: int, m_total: int):
+                  *stepped, hop: int, sub: int, m_total: int):
     """Per-device hopped analysis (one spectrum per hop of the global
     stream — the reference driver protocol, test/test.c:69-83).  Same prefix
     machinery as _roundtrip_local_lti with tile length ``hop``; the selected
     spectrum is the demodulated+windowed tile-start accumulator, so skipped
     spectra are never computed.  Window convolution runs after a bin-halo
     exchange (sharded Hermitian guards, c/src/sdft/sdft.h:589-595).
+
+    ``sub > 1`` (degenerate hops, hop < 8) takes multi-hop tiles of
+    K = hop*sub samples emitting ``sub`` spectra each via one extra GEMM
+    against the stepped INCLUSIVE partial-totals table (``stepped`` =
+    ops.lti._stepped_consts_device tables) — the same identity as the
+    unsharded sdft_hopped and the fused sharded driver, so 1-sample hops
+    keep full-depth contractions instead of (nt, 1) @ (1, m) matvecs.
     """
     m = plan.dftsize
     n2 = 2 * m
@@ -335,7 +342,7 @@ def _hopped_local(plan: Plan, state: State, samples, fine_re, fine_im,
     b0 = lax.axis_index("bins") * mb
     bins = b0 + jnp.arange(mb, dtype=jnp.int32)
 
-    # local bin columns of the hop-tile phase table
+    # local bin columns of the tile phase table (K = hop*sub rows)
     fre = lax.dynamic_slice_in_dim(fine_re, b0, mb, axis=1)
     fim = lax.dynamic_slice_in_dim(fine_im, b0, mb, axis=1)
     roi = None
@@ -353,8 +360,9 @@ def _hopped_local(plan: Plan, state: State, samples, fine_re, fine_im,
     line = jnp.concatenate([hist_src, samples], axis=-1)
     delta = (samples - line[:, :L]).astype(fd)
 
-    nt = L // hop  # L % hop == 0 enforced by caller
-    dt = delta.reshape(C, nt, hop)
+    K = hop * sub
+    nt = L // K  # L % K == 0 enforced by caller
+    dt = delta.reshape(C, nt, K)
 
     totals_re = jnp.einsum("ctk,km->ctm", dt, fre, precision=hi,
                            preferred_element_type=fd)
@@ -365,7 +373,7 @@ def _hopped_local(plan: Plan, state: State, samples, fine_re, fine_im,
     # absolute tile-start exponents (exact mod-2m integer phases)
     edt = exponent_dtype(m)
     e0 = jnp.mod(state.offset.astype(edt)[:, None] + d * L
-                 + jnp.arange(nt, dtype=edt)[None, :] * hop, n2)
+                 + jnp.arange(nt, dtype=edt)[None, :] * K, n2)
     r = mulmod(e0[..., None], bins[None, None, :], n2)
     ang = (-np.pi / m) * r.astype(fd)
     row0 = jnp.cos(ang) + 1j * jnp.sin(ang)
@@ -381,12 +389,30 @@ def _hopped_local(plan: Plan, state: State, samples, fine_re, fine_im,
     prefix = acc_in + jnp.concatenate(
         [jnp.zeros_like(inc[:, :1]), inc[:, :-1]], axis=1)
 
-    # accumulator right after each tile's first sample; demodulate by
-    # conj(T^(e0+1)) = conj(row0) * conj(T_j)  (c/src/sdft/sdft.h:585)
-    d0 = dt[:, :, 0].astype(cd)[..., None]
-    acc_sel = prefix + d0 * (row0 if roi is None else row0 * roi)
-    conj_base = jnp.exp(1j * (np.pi / m) * bins.astype(fd)).astype(cd)
-    aux = acc_sel * jnp.conj(row0) * conj_base
+    if sub == 1:
+        # accumulator right after each tile's first sample; demodulate by
+        # conj(T^(e0+1)) = conj(row0) * conj(T_j)  (c/src/sdft/sdft.h:585)
+        d0 = dt[:, :, 0].astype(cd)[..., None]
+        acc_sel = prefix + d0 * (row0 if roi is None else row0 * roi)
+        conj_base = jnp.exp(1j * (np.pi / m) * bins.astype(fd)).astype(cd)
+        aux = acc_sel * jnp.conj(row0) * conj_base
+    else:
+        # stepped leg: inner hop j's spectrum = (c0 + ptotals_j) * dr_j
+        # with c0 the tile-start carry demodulated to absolute phase
+        sf_re, sf_im, dr_re, dr_im = stepped
+        sfr = lax.dynamic_slice_in_dim(
+            sf_re.reshape(K, sub, m), b0, mb, axis=2)
+        sfi = lax.dynamic_slice_in_dim(
+            sf_im.reshape(K, sub, m), b0, mb, axis=2)
+        drc = (lax.dynamic_slice_in_dim(dr_re, b0, mb, axis=1)
+               + 1j * lax.dynamic_slice_in_dim(dr_im, b0, mb, axis=1)
+               ).astype(cd)                                   # (sub, mb)
+        c0 = prefix * jnp.conj(row0)
+        pt = (jnp.einsum("ctk,kjm->ctjm", dt, sfr, precision=hi,
+                         preferred_element_type=fd)
+              + 1j * jnp.einsum("ctk,kjm->ctjm", dt, sfi, precision=hi,
+                                preferred_element_type=fd)).astype(cd)
+        aux = ((c0[:, :, None, :] + pt) * drc).reshape(C, nt * sub, mb)
 
     halo = WINDOW_HALO[plan.window]
     padded = _bin_halo_exchange(aux, halo, "bins")
@@ -719,15 +745,16 @@ def _sharded_roundtrip_transform_jit(plan: Plan, mesh: Mesh, state: State,
     )(state, samples)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 5, 6))
 def _sharded_hopped_jit(plan: Plan, mesh: Mesh, state: State, samples,
-                        consts, hop: int):
+                        consts, hop: int, sub: int):
     m_total = samples.shape[-1]
-    body = functools.partial(_hopped_local, plan, hop=hop, m_total=m_total)
+    body = functools.partial(_hopped_local, plan, hop=hop, sub=sub,
+                             m_total=m_total)
     rep = P(None, None)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(STATE_SPECS, SAMPLE_SPEC, rep, rep),
+        in_specs=(STATE_SPECS, SAMPLE_SPEC) + (rep,) * len(consts),
         out_specs=(STATE_SPECS, DFT_SPEC),
         check_vma=False,
     )(state, samples, *consts)
@@ -741,7 +768,7 @@ def sharded_sdft_hopped(plan: Plan, mesh: Mesh, state: State, samples,
     .dft dump without materializing every spectrum.
 
     Args:
-      plan: static plan (no ROI under sharding).
+      plan: static plan (ROI folds into the tile tables).
       mesh: ('channel', 'time', 'bins') mesh.
       state: batched State.
       samples: (C, M); M/time must be a multiple of ``hop``.
@@ -750,6 +777,11 @@ def sharded_sdft_hopped(plan: Plan, mesh: Mesh, state: State, samples,
     Returns:
       (new_state, dfts) with dfts packed (C, M/hop, m, 2), sharded
       (channel, time, bins, -).
+
+    Degenerate hops (< 8) ride multi-hop stepped tiles (K = hop*sub,
+    ops.lti._stepped_consts_device) when the local block divides into
+    them, falling back to hop-depth tiles otherwise — same dispatch as
+    the unsharded sdft_hopped.
     """
     samples = jnp.asarray(samples)
     C, M = samples.shape
@@ -758,8 +790,14 @@ def sharded_sdft_hopped(plan: Plan, mesh: Mesh, state: State, samples,
     if (M // nt) % hop:
         raise ValueError(
             f"local time block {M // nt} not a multiple of hop {hop}")
-    consts = _hop_consts_device(plan, hop, str(plan.precision.fd_dtype))
-    return _sharded_hopped_jit(plan, mesh, state, samples, consts, hop)
+    sub = driver_sub_factor(hop)
+    if (M // nt) % (hop * sub):
+        sub = 1                      # keep any hop-multiple block legal
+    fd_s = str(plan.precision.fd_dtype)
+    consts = _hop_consts_device(plan, hop * sub, fd_s)
+    if sub > 1:
+        consts = consts + _stepped_consts_device(plan, hop, sub, fd_s)
+    return _sharded_hopped_jit(plan, mesh, state, samples, consts, hop, sub)
 
 
 def sharded_sdft(plan: Plan, mesh: Mesh, state: State, samples,

@@ -114,3 +114,10 @@ def test_roi_sharded_matches_unsharded(axes):
     _, hd = sharded_sdft_hopped(plan, mesh, init_state(plan, channels=C), x,
                                 hop)
     np.testing.assert_allclose(np.asarray(hd), np.asarray(ref_hd), atol=1e-12)
+
+    # degenerate hop (stepped tiles): ROI folds into the stepped tables
+    _, ref_h4 = sdft_hopped(plan, init_state(plan, channels=C), x, 4)
+    _, h4 = sharded_sdft_hopped(plan, mesh, init_state(plan, channels=C), x,
+                                4)
+    np.testing.assert_allclose(np.asarray(h4), np.asarray(ref_h4),
+                               atol=1e-12)

@@ -318,6 +318,51 @@ def test_sharded_roundtrip_hopped_degenerate_hop():
                                np.asarray(st_ref.accumulator), atol=1e-12)
 
 
+def test_sharded_hopped_degenerate_hops():
+    """hop < 8 rides the stepped multi-hop tiles (ops.lti
+    _stepped_consts_device) under sharding too — sharded == unsharded at
+    1e-12 for every mesh factorization, plus the hop-depth fallback when
+    the local block is a hop multiple but not a tile multiple."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sdft_tpu.ops.lti import sdft_hopped
+    from sdft_tpu.parallel import sharded_sdft_hopped
+
+    m = 32
+    plan = Plan(m, window="hann", precision=F64)
+    C, M = 2, 256
+    x = _signal(C, 2 * M, seed=41)
+
+    for hop in (1, 2, 4):
+        for axes in [(1, 2, 4), (2, 2, 2), (1, 8, 1)]:
+            mesh = make_mesh(*axes)
+            st_sh = init_state(plan, channels=C)
+            st_ref = init_state(plan, channels=C)
+            for b in range(2):
+                blk = x[:, b * M:(b + 1) * M]
+                st_sh, d_sh = sharded_sdft_hopped(plan, mesh, st_sh, blk,
+                                                  hop)
+                st_ref, d_ref = sdft_hopped(plan, st_ref, blk, hop)
+                assert np.asarray(d_sh).shape == (C, M // hop, m, 2)
+                np.testing.assert_allclose(np.asarray(d_sh),
+                                           np.asarray(d_ref), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(st_sh.accumulator),
+                                       np.asarray(st_ref.accumulator),
+                                       atol=1e-12)
+
+    # fallback: local block 12 is a multiple of hop=4 but not of the
+    # hop*sub=8 tile — sharded_sdft_hopped silently drops to hop-depth
+    plan16 = Plan(16, window="hann", precision=F64)
+    mesh = make_mesh(1, 4, 1)
+    xs = _signal(1, 48, seed=43)
+    st_sh, d_sh = sharded_sdft_hopped(plan16, mesh,
+                                      init_state(plan16, channels=1), xs, 4)
+    st_ref, d_ref = sdft_hopped(plan16, init_state(plan16, channels=1),
+                                xs, 4)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref),
+                               atol=1e-12)
+
+
 def test_sharded_hopped_blackman_short_blocks():
     """Blackman (halo 2) + local blocks < 2m: bin-halo exchange and
     multi-predecessor comb compose."""

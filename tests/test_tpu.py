@@ -433,12 +433,22 @@ def test_extended_twofloat_tier_on_tpu(oracle, signal):
 
     st = init_state(plan)
     outs = []
+    last_d = None
     for b in range(nb):
         st, d = sdft(plan, st, x[b * B:(b + 1) * B])
+        last_d = d
         outs.append(to_complex(df_to_float64((np.asarray(d[..., 0]),
                                               np.asarray(d[..., 1])))))
     err = np.abs(np.concatenate(outs) - want).max()
     assert err < 1e-9 * scale, err / scale
+
+    # synthesis leg: the double-word isdft vs the f64 oracle's samples
+    from sdft_tpu import isdft
+
+    want_y = eng.isdft(want[-B:])
+    got_y = np.asarray(isdft(plan, last_d), np.float64)
+    yerr = np.abs(got_y - want_y).max()
+    assert yerr < 1e-7 * np.abs(want_y).max(), yerr  # f32-out quantization
 
 
 def test_power_spectra_kernel_on_tpu(oracle, signal):

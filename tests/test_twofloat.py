@@ -100,6 +100,37 @@ def test_extended_tier_drift_free_long_stream():
     assert last_err < 1e-13      # block 40 as accurate as block 1
 
 
+@pytest.mark.parametrize("latency", [1.0, 0.5])
+def test_extended_tier_isdft_matches_f64(latency):
+    """The double-word synthesis leg (isdft_block_df) tracks the f64
+    synthesis at ~1e-13: the reference's extended FD tier applies to
+    isdft too (c/src/sdft/sdft.h:635-657)."""
+    from sdft_tpu.ops.synthesis import isdft_block
+    from sdft_tpu.ops.twofloat import isdft_block_df
+
+    m, M = 64, 160
+    plan64 = Plan(m, window="hann", precision=F64, latency=latency)
+    plan = Plan(m, window="hann",
+                precision=Precision("float32", "float32"), latency=latency)
+    x = _signal(M, seed=6)
+    _, d64 = sdft_block(plan64, init_state(plan64), x.astype(np.float64))
+    _, ddf = sdft_block_df(plan, init_state(plan), x)
+    y64 = np.asarray(isdft_block(plan64, d64))
+    yh, yl = isdft_block_df(plan, ddf)
+    got = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+    scale = np.abs(y64).max()
+    assert np.abs(got - y64).max() < 1e-13 * scale
+    # round trip through the public api: correctly-rounded f32 out
+    plan_x = Plan(m, window="hann", precision=XF, latency=latency)
+    st, d = sdft(plan_x, init_state(plan_x), x)
+    from sdft_tpu import isdft
+
+    y_api = np.asarray(isdft(plan_x, d))
+    assert y_api.dtype == np.float32
+    np.testing.assert_allclose(y_api, y64.astype(np.float32),
+                               atol=2e-7 * scale)
+
+
 def test_extended_tier_api_routing():
     """Precision(fd="float32x2") routes api.sdft to the double-word path;
     dfts gain the trailing (hi, lo) axis."""
