@@ -280,11 +280,14 @@ def bench_tpu():
 
     HOP1_BLOCK, K_HI_H1 = 8000, 260
     if use_pallas:
+        # mirrors ops.lti._chain_hop1_pallas_jit: ONE fused kernel per
+        # block emitting spectra + synthesis (scripts/exp_hop1.py)
+        from sdft_tpu.kernels import forward_and_y_pallas
+
         @functools.partial(jax.jit, static_argnums=2)
         def hop1_many(state, xs, k):
             def body(st, x):
-                _, hd = forward_block_pallas(plan_drv, st, x)
-                st, y = roundtrip_block_lti(plan_drv, st, x)
+                st, hd, y = forward_and_y_pallas(plan_drv, st, x)
                 st = refresh_state_any(plan_drv, st)
                 return st, jnp.sum(y * y) + jnp.sum(hd[0, 0, 0])
             st, ys = lax.scan(body, state, xs[:k])

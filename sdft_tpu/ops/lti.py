@@ -946,24 +946,27 @@ def _chain_refresh(plan: Plan, refresh_every, body_out_state, since):
 def _chain_hop1_pallas_jit(plan: Plan, state: State, xs,
                            refresh_every: int | None,
                            interpret: bool = False):
-    """hop=1 driver chain through the fused Pallas spectra kernel: per
-    block, kernel spectra (every sample's DFT IS that hop's spectrum) from
-    the in-state plus the collapsed-LTI synthesis that advances it.  The
-    spectra carry the kernel's documented bf16-split contraction class
-    (~2e-7 relative, same as api.sdft on TPU); the synthesis and carry
-    stay exact-f32."""
-    from ..kernels import forward_block_pallas
+    """hop=1 driver chain through ONE fused Pallas kernel per block
+    (forward_and_y_pallas): every sample's spectrum (which IS that hop's
+    spectrum) AND the synthesized samples from a single launch — no
+    second comb/totals pass (measured +21% over kernel-spectra +
+    collapsed-LTI synthesis at m=1000, scripts/exp_hop1.py).  The spectra
+    carry the mxu2 in-kernel cumsum class: ~7e-6 relative worst-case at
+    m=4096 on chip (vs ~3e-6 for the toepconv spectra kernel — the
+    founding claim at hop=1 is throughput; mxu3 recovers ~1.7e-6 at -18%,
+    measured rejection in scripts/exp_hop1.py)."""
+    from ..kernels import forward_and_y_pallas
 
     def body(carry, x):
         st, since = carry
         if x.ndim == 1:
-            _, hd = forward_block_pallas(plan, st, x, interpret=interpret)
+            st, hd, y = forward_and_y_pallas(plan, st, x,
+                                             interpret=interpret)
         else:
-            _, hd = jax.vmap(
-                lambda s, xx: forward_block_pallas(plan, s, xx,
+            st, hd, y = jax.vmap(
+                lambda s, xx: forward_and_y_pallas(plan, s, xx,
                                                    interpret=interpret)
             )(st, x)
-        st, y = roundtrip_block_lti(plan, st, x)
         if refresh_every is None:
             return (st, since), (hd, y)
         if refresh_every == 1:

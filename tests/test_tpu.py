@@ -408,8 +408,13 @@ def test_hop1_driver_chain_on_tpu(oracle, signal):
     st, hd, ys = roundtrip_hopped(plan, st, x.reshape(nb, B), 1)
     assert np.asarray(hd).shape == (nb, B, M_BINS, 2)
     got = to_complex(np.asarray(hd).reshape(-1, M_BINS, 2))
-    # kernel-spectra contraction class (~2e-7 relative, same as api.sdft)
-    assert np.abs(got - d_ref).max() < 3e-6 * scale
+    # single-launch fused kernel (forward_and_y_pallas, mxu2 cumsum):
+    # measured 7e-6 relative worst-case at m=4096 — looser than the
+    # toepconv spectra kernel's ~3e-6 but +20% throughput on the route
+    # whose founding claim is hop=1 efficiency (scripts/exp_hop1.py);
+    # still well under the reference's 1e-7 ABSOLUTE DFT gate here
+    # (measured 1.2e-8 absolute)
+    assert np.abs(got - d_ref).max() < 1.5e-5 * scale
     np.testing.assert_allclose(np.asarray(ys).reshape(-1), y_ref, atol=1e-4)
 
 
