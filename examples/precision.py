@@ -10,8 +10,12 @@ them as `Precision` configurations and adds the TPU-native extended tier:
   * float64                 — CPU parity mode (x64)
 
 Each tier's forward spectra are compared against the float64 scan path on
-a short noise stream.  Runs on CPU (conftest-style x64) or TPU; the
-float32x2 tier reaches ~1e-13 on either.
+a short noise stream.  Run on CPU (x64) the float32x2 row shows its true
+~1e-13 class; on TPU the f64 reference itself resolves to f32 (no f64
+unit), so the printed residuals are f32-reference-limited — the footer
+says so, and the real on-chip 1e-13-class gate lives in
+tests/test_tpu.py::test_extended_twofloat_tier_on_tpu against the f64
+native oracle.
 """
 
 import pathlib

@@ -127,7 +127,13 @@ def main(argv=None) -> int:
         state = init_state(plan, channels=1)
         progress = 0
         mesh_size = (size // block) * block  # whole sharded blocks
-        nb = int(min(32, max(1, mesh_size // block)))
+        bin_bytes = 8 if fd == "float32" else 16  # packed re/im pair
+        bytes_per_block = max(1, (block // hopsize) * dftsize * bin_bytes)
+        # cap staged hop-DFT bytes per dispatch like the single-device
+        # branch below — degenerate hops emit a spectrum per few samples,
+        # so 32 uncapped blocks could stage multi-GB outputs
+        nb = int(min(32, max(1, mesh_size // block),
+                     max(1, _SUPER_DFT_BYTES // bytes_per_block)))
         seg = nb * block
         for i in range(0, mesh_size, seg):
             chunk = x[i:i + seg]

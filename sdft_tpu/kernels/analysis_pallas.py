@@ -190,6 +190,16 @@ def _kernel(off_ref, delta_ref, acc_in_ref, synth_ref,
         ang = omega * r.astype(jnp.float32)
         fre = jnp.cos(ang)
         fim = jnp.sin(ang)
+        if plan.roi is not None:
+            # ROI accumulate mask folded into the fine tables (the
+            # in-kernel form of _acc_mask_host): out-of-ROI bins are never
+            # accumulated, pad columns mirror their interior bin
+            first, last = plan.roi
+            bm = jnp.where(iw < 0, -iw,
+                           jnp.where(iw >= m, 2 * m - 2 - iw, iw))
+            rmask = ((bm >= first) & (bm < last)).astype(jnp.float32)
+            fre = fre * rmask
+            fim = fim * rmask
         fine_re[:] = fre
         fine_im[:] = fim
         # demod constant: conj(fine) * base, base = conj(T^i)
@@ -291,6 +301,16 @@ def _finish_tile(plan: Plan, K: int, W: int, t, aux_re, aux_im,
 
     out_re = conv(aux_re)
     out_im = conv(aux_im)
+    if plan.roi is not None and emit_dfts:
+        # ROI output mask (the final `out * roi` of the XLA paths): bins
+        # outside the ROI would otherwise carry window-conv bleed from
+        # their in-ROI neighbors.  The y-leg below is unaffected either
+        # way (synthesis_twiddles folds the same mask).
+        first, last = plan.roi
+        ob = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+        omask = ((ob >= first) & (ob < last)).astype(jnp.float32)
+        out_re = out_re * omask
+        out_im = out_im * omask
 
     if emit_dfts:
         dft_re_ref[:] = out_re.astype(dft_re_ref.dtype)
@@ -308,6 +328,13 @@ def _finish_tile(plan: Plan, K: int, W: int, t, aux_re, aux_im,
                 j = PAD + m - 1 - g
                 return aux_re[:, j:j + 1], aux_im[:, j:j + 1]
 
+            def colbit(col):
+                # ROI bit of a rewritten top column (static; the toepconv
+                # kernel's colmask analogue)
+                return np.float32(
+                    1.0 if plan.roi is None
+                    or plan.roi[0] <= col < plan.roi[1] else 0.0)
+
             a0r, a0i = acol(0)
             a1r, a1i = acol(1)
             if halo == 1:
@@ -318,10 +345,14 @@ def _finish_tile(plan: Plan, K: int, W: int, t, aux_re, aux_im,
                 a3r, a3i = acol(3)
                 fr = c0 * a0r + 2 * c1 * a1r + 2 * c2 * a2r
                 fi = c0 * a0i
-                gr = c0 * a1r + c1 * (a2r + a0r) + c2 * (a3r + a1r)
-                gi = c0 * a1i + c1 * (a2i + a0i) + c2 * (a3i - a1i)
+                gr = colbit(m - 2) * (c0 * a1r + c1 * (a2r + a0r)
+                                      + c2 * (a3r + a1r))
+                gi = colbit(m - 2) * (c0 * a1i + c1 * (a2i + a0i)
+                                      + c2 * (a3i - a1i))
                 dft_re_ref[:, m - 2:m - 1] = gr.astype(dft_re_ref.dtype)
                 dft_im_ref[:, m - 2:m - 1] = gi.astype(dft_im_ref.dtype)
+            fr = colbit(m - 1) * fr
+            fi = colbit(m - 1) * fi
             dft_re_ref[:, m - 1:m] = fr.astype(dft_re_ref.dtype)
             dft_im_ref[:, m - 1:m] = fi.astype(dft_im_ref.dtype)
     if emit_y:
@@ -717,6 +748,20 @@ def _spectra_prologue(plan: Plan, state: State, samples, K: int,
     return delta, dt, nt, new_delayline, c0_re, c0_im, acc_out, fix
 
 
+_CONV_VMEM_BUDGET = 80 * 1024 * 1024
+
+
+def _conv_vmem_bytes(m: int, K: int, R: int, out_bytes: int) -> int:
+    """VMEM bytes of a (tile_k=K, super_r=R) super-tiled configuration:
+    resident tables 20*K*W (two f32 dmf planes + the (3K, 2W) bf16 split
+    stack), the (R*K, 2W) f32 dots intermediate, and the double-buffered
+    output staging 2 planes * R*K*m * out_bytes * 2.  The ONE budget
+    model — _conv_pick_tiles (auto pick) and _toepconv_config (user
+    overrides) must price configurations identically."""
+    W = _round_up(m, 128) + 2 * PAD
+    return 20 * K * W + 8 * R * K * W + 4 * R * K * m * out_bytes
+
+
 def _conv_pick_tiles(m: int, out_bytes: int) -> tuple[int, int] | None:
     """(tile_k, super_r) for the super-tiled kernel under the VMEM budget,
     or None if no configuration fits (plan_supported reports such plans
@@ -725,15 +770,10 @@ def _conv_pick_tiles(m: int, out_bytes: int) -> tuple[int, int] | None:
 
     Preference order is the measured optimum per output element type
     (docs/PERF.md round-4 sweep: f32 -> K=96/R=4, bf16 -> K=64/R=8).
-    Budget model (bytes): resident tables 20*K*W (two f32 dmf planes + the
-    (3K, 2W) bf16 split stack), the (R*K, 2W) f32 dots intermediate, and the
-    double-buffered output staging 2 planes * R*K*m * out_bytes * 2.
     """
-    W = _round_up(m, 128) + 2 * PAD
     prefs = ((96, 4),) if out_bytes == 4 else ((64, 8),)
     for K, R in prefs + ((64, 4), (64, 2), (64, 1), (32, 2), (32, 1)):
-        est = 20 * K * W + 8 * R * K * W + 4 * R * K * m * out_bytes
-        if est <= 80 * 1024 * 1024:
+        if _conv_vmem_bytes(m, K, R, out_bytes) <= _CONV_VMEM_BUDGET:
             return K, R
     return None
 
@@ -1000,13 +1040,13 @@ def _toepconv_config(plan: Plan, out_dtype, tile_k, super_r):
         # a user-specified configuration gets the same VMEM-budget check
         # as the auto pick — a loud ValueError beats an opaque Mosaic
         # VMEM allocation failure deep in compilation (ADVICE r4 #3)
-        W = _round_up(m, 128) + 2 * PAD
-        est = 20 * K * W + 8 * R * K * W + 4 * R * K * m * odt_bytes
-        if est > 80 * 1024 * 1024:
+        est = _conv_vmem_bytes(m, K, R, odt_bytes)
+        if est > _CONV_VMEM_BUDGET:
             raise ValueError(
                 f"spectra-kernel tiling tile_k={K}, super_r={R} needs "
                 f"~{est / 2**20:.0f} MB of VMEM at dftsize {m} "
-                "(budget 80 MB); lower tile_k/super_r or leave them unset")
+                f"(budget {_CONV_VMEM_BUDGET // 2**20} MB); lower "
+                "tile_k/super_r or leave them unset")
     return K, R, _spectra_tables_conv(plan, K) + _coarse_rows_host(plan, K)
 
 

@@ -843,7 +843,9 @@ def roundtrip_hopped_chain(plan: Plan, state: State, xs: jnp.ndarray,
         xs (nb, C, B).
       xs: stacked sample blocks, each a multiple of ``hop`` long.
       hop: hop size in samples (static).
-      k_tile: tile for the round-trip GEMMs (static; default auto).
+      k_tile: degenerate hops (< 8) only — the multi-hop TILE TARGET
+        (static, default 8): tiles span sub = ceil(k_tile/hop) hops.
+        Ignored for hop >= 8, where tiles are the hop itself.
       refresh_every: exactly rebuild the accumulator from the delayline
         every N scan steps (ops.analysis.refresh_state) — two MXU matvecs
         that zero the f32 carry drift of long streams, keeping the on-chip

@@ -198,27 +198,11 @@ def _carry_from_delayline(plan: Plan, tables, delayline, offset, bins,
         e = offset + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
         re, im = _rotate(plan, tables, (x, jnp.zeros_like(x)), e, bins,
                          roi_mask)
-        # tree-reduce the chunk then df_add into the carry
-        def tsum(p):
-            h, l = p
-            n = h.shape[0]
-            while n > 1:
-                half = n // 2
-                a = (h[:half], l[:half])
-                b = (h[half:2 * half], l[half:2 * half])
-                s = df_add(a, b)
-                if n % 2:
-                    h = jnp.concatenate([s[0], h[2 * half:]], axis=0)
-                    l = jnp.concatenate([s[1], l[2 * half:]], axis=0)
-                    n = half + 1
-                else:
-                    h, l = s
-                    n = half
-            return h[0], l[0]
-
+        # tree-reduce the (chunk, B) planes over chunk (the shared
+        # pairwise reduction, _df_sum_last) then df_add into the carry
         cre, cim = carry
-        cre = df_add(cre, tsum(re))
-        cim = df_add(cim, tsum(im))
+        cre = df_add(cre, _df_sum_last((re[0].T, re[1].T)))
+        cim = df_add(cim, _df_sum_last((im[0].T, im[1].T)))
         return (cre, cim), None
 
     carry0 = (((zero, zero)), (zero, zero))

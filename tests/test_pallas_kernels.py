@@ -293,6 +293,60 @@ def test_hop1_pallas_chain_matches_stepped():
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("roi", [(10, 100), (30, 256), (64, 128)])
+def test_hop1_pallas_chain_roi_matches_stepped(roi):
+    """ROI through the hop=1 fused-kernel route: the scan-family kernel
+    folds the accumulate mask into its in-kernel fine tables and masks
+    the emitted bins (the gap a round-5 review found: forward_and_y had
+    no ROI handling while the route's gate never excluded ROI plans)."""
+    from sdft_tpu.ops.lti import (_chain_fused_jit, _chain_hop1_pallas_jit,
+                                  _fused_driver_consts, driver_sub_factor)
+
+    plan = Plan(256, window="hann", precision=F32, roi=roi)
+    nb, B = 2, 384
+    xs = _signal(nb * B, seed=31).astype(np.float32).reshape(nb, B)
+
+    sub1 = driver_sub_factor(1)
+    consts1 = _fused_driver_consts(plan, 1, sub1)
+    st_x, hd_x, ys_x = _chain_fused_jit(plan, init_state(plan), xs, consts1,
+                                        1, 1, sub1)
+    st_p, hd_p, ys_p = _chain_hop1_pallas_jit(plan, init_state(plan), xs,
+                                              1, True)
+    scale = np.abs(np.asarray(hd_x)).max()
+    assert np.abs(np.asarray(hd_p) - np.asarray(hd_x)).max() < 5e-6 * scale
+    # bins outside the ROI are exactly zero, like every other path
+    first, last = roi
+    assert np.all(np.asarray(hd_p)[..., :first, :] == 0)
+    assert np.all(np.asarray(hd_p)[..., last:, :] == 0)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_p.accumulator),
+                               np.asarray(st_x.accumulator), atol=1e-4)
+
+
+def test_scan_kernel_roi_spectra_matches_xla():
+    """ROI on the scan-family spectra path (guard-free top-column fixes
+    carry the ROI bit) and the fused roundtrip, interpret mode."""
+    from sdft_tpu.kernels import forward_block_pallas, roundtrip_block_fused
+    from sdft_tpu.ops.analysis import sdft_block
+    from sdft_tpu.ops.lti import roundtrip_block_lti
+
+    for roi in [(10, 100), (100, 256), (30, 255)]:
+        plan = Plan(256, window="blackman", precision=F32, roi=roi)
+        x = _signal(384, seed=33).astype(np.float32)
+        _, want = sdft_block(plan, init_state(plan), x)
+        _, got = forward_block_pallas(plan, init_state(plan), x,
+                                      interpret=True, cumsum_mode="mxu2")
+        scale = np.abs(np.asarray(want)).max()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-6 * scale)
+        _, y_want = roundtrip_block_lti(plan, init_state(plan), x)
+        _, y_got = roundtrip_block_fused(plan, init_state(plan), x,
+                                         interpret=True)
+        np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_want),
+                                   atol=1e-5)
+
+
 @pytest.mark.parametrize("roi", [(10, 100), (0, 200), (30, 256), (64, 128)])
 def test_toepconv_roi_matches_xla(roi):
     """ROI on the Pallas fast path (VERDICT r3 missing#2): masked bins fold

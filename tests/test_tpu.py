@@ -473,3 +473,41 @@ def test_power_spectra_kernel_on_tpu(oracle, signal):
     _, p16 = forward_block_power(plan, init_state(plan), x,
                                  out_dtype="bfloat16")
     assert np.abs(np.asarray(p16, np.float32) - want).max() < 1e-2 * scale
+
+
+def test_roi_fast_paths_on_tpu(oracle, signal):
+    """ROI on the real chip: the toepconv spectra kernel (table-folded
+    masks) and the hop=1 fused-kernel route (in-kernel masks, added after
+    a round-5 review found the scan family ROI-blind) vs the f64 oracle
+    restricted to the ROI band.  Interpret mode hides hardware-only
+    behavior (convert folding, skinny-matmul padding — docs/PERF.md
+    round-3), so ROI needs an on-chip gate too."""
+    from sdft_tpu import roundtrip_hopped, sdft
+    from sdft_tpu.cplx import to_complex as _toc
+
+    first, last = 64, 400
+    plan = Plan(M_BINS, window="hann", precision=FAST_PRECISION,
+                roi=(first, last))
+    eng = oracle(M_BINS, "hann", td_bits=64)
+    x = signal[:BLOCK]
+    want_full = eng.sdft(x.astype(np.float64))
+    scale = np.abs(want_full).max()
+
+    # forward spectra (toepconv kernel)
+    _, d = sdft(plan, init_state(plan), x)
+    got = _toc(np.asarray(d))
+    assert np.all(got[..., :first] == 0)
+    assert np.all(got[..., last:] == 0)
+    # same class as the full-band forward gate (atol 5e-7 + rtol 1e-4)
+    np.testing.assert_allclose(got[..., first + 2:last - 2],
+                               want_full[..., first + 2:last - 2],
+                               atol=5e-7, rtol=1e-4)
+
+    # hop=1 fused kernel route (spectra + synthesis in one launch)
+    _, hd, _ys = roundtrip_hopped(plan, init_state(plan),
+                                  x.reshape(2, BLOCK // 2), 1)
+    got1 = _toc(np.asarray(hd).reshape(-1, M_BINS, 2))
+    assert np.all(got1[..., :first] == 0)
+    assert np.all(got1[..., last:] == 0)
+    assert np.abs(got1[..., first + 2:last - 2]
+                  - want_full[..., first + 2:last - 2]).max() < 1.5e-5 * scale
