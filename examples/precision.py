@@ -9,13 +9,11 @@ them as `Precision` configurations and adds the TPU-native extended tier:
   * float32x2 (double-word) — f64-class spectra WITHOUT float64 hardware
   * float64                 — CPU parity mode (x64)
 
-Each tier's forward spectra are compared against the float64 scan path on
-a short noise stream.  Run on CPU (x64) the float32x2 row shows its true
-~1e-13 class; on TPU the f64 reference itself resolves to f32 (no f64
-unit), so the printed residuals are f32-reference-limited — the footer
-says so, and the real on-chip 1e-13-class gate lives in
-tests/test_tpu.py::test_extended_twofloat_tier_on_tpu against the f64
-native oracle.
+Each tier's forward spectra are compared against the native C++ engine
+computing in true float64 (the same differential oracle the test suite
+gates against), so the residuals are meaningful on ANY backend — on TPU,
+where JAX float64 silently resolves to f32, the float32x2 row still
+shows its real ~1e-13 class because the oracle runs on the host CPU.
 """
 
 import pathlib
@@ -31,53 +29,43 @@ import jax
 # env var at import time (config wins while no backend is initialized)
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-# a real f64 reference needs x64; the TPU runtime has no f64 (its x64
-# rewriter aborts on complex128), so only CPU backends get the flag —
-# same policy as the CLI's parity mode
-try:
-    if jax.default_backend() == "cpu":
-        jax.config.update("jax_enable_x64", True)
-except Exception:
-    pass
 
 import numpy as np
 
 
 def main():
     from sdft_tpu import Plan, Precision, df_to_float64, init_state, sdft
-    from sdft_tpu.ops.analysis import sdft_block
+    from sdft_tpu.cplx import to_complex
+    from sdft_tpu.oracle import NativeSDFT
 
     m, M = 512, 2048
     rng = np.random.default_rng(0)
     x = np.clip(rng.standard_normal(M), -2, 2).astype(np.float32) / 2
 
-    # float64 reference (resolves to f32 off-x64 platforms; the printed
-    # residual then shows ~0 by construction and the tier table says so)
-    plan64 = Plan(m, window="hann", precision=Precision("float64", "float64"))
-    _, d64 = sdft_block(plan64, init_state(plan64), x.astype(np.float64))
-    want = np.asarray(d64, np.float64)
+    # float64 reference: the native per-sample C++ engine (true f64 on the
+    # host regardless of the JAX backend — the differential oracle of
+    # tests/test_tpu.py and scripts/crosscheck.py)
+    eng = NativeSDFT(m, "hann", td_bits=64)
+    want = eng.sdft(x.astype(np.float64))          # complex128 (M, m)
     scale = np.abs(want).max()
 
     rows = []
 
     plan32 = Plan(m, window="hann", precision=Precision("float32", "float32"))
     _, d32 = sdft(plan32, init_state(plan32), x)
-    rows.append(("float32 fast path", np.asarray(d32, np.float64)))
+    rows.append(("float32 fast path", to_complex(np.asarray(d32))))
 
     planx2 = Plan(m, window="hann",
                   precision=Precision("float32", "float32x2"))
     _, dx2 = sdft(planx2, init_state(planx2), x)
-    got = df_to_float64((np.asarray(dx2[..., 0]), np.asarray(dx2[..., 1])))
-    rows.append(("float32x2 double-word", got))
+    packed = df_to_float64((np.asarray(dx2[..., 0]), np.asarray(dx2[..., 1])))
+    rows.append(("float32x2 double-word", to_complex(packed)))
 
     print(f"m={m}, {M} samples, backend={jax.default_backend()}")
-    print(f"{'tier':24s} max |err| / scale")
+    print(f"{'tier':24s} max |err| / scale  (vs f64 native oracle)")
     for name, got in rows:
         err = np.abs(got - want).max() / scale
         print(f"{name:24s} {err:.3e}")
-    x64 = bool(jax.config.jax_enable_x64)
-    print(f"(reference tier: float64 scan path; x64 {'on' if x64 else 'off'}"
-          f"{'' if x64 else ' — f64 resolves to f32 here'})")
 
 
 if __name__ == "__main__":

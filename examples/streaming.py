@@ -26,6 +26,15 @@ import jax
 
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+# a true f64 contract check needs x64; TPUs have no f64 unit (the plan's
+# float64 resolves to f32 there), so only CPU backends get the flag and
+# the tolerance below calibrates to what actually ran — the same policy
+# as the CLI parity mode
+try:
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+except Exception:
+    pass
 
 import numpy as np
 
@@ -51,14 +60,20 @@ def main(dftsize=256, hop=32):
     y = np.concatenate(ys)
     dfts = np.concatenate(hops)  # (n_hops, m, 2): first spectrum per hop
 
-    # contract check vs the per-block path (one dispatch per block)
-    st = init_state(plan)
+    # contract check vs the per-block path (one dispatch per block) — at
+    # the class of what actually ran: 1e-12 when the f64 plan really
+    # computed in f64 (CPU x64); the f32 structural-difference class when
+    # the backend has no f64 (TPU), where the chained and per-block
+    # programs tile differently and agree to ~1e-8
     want = []
+    st = init_state(plan)
     for blk in iter_blocks(x, block):
         _, hd = sdft_hopped(plan, st, blk, hop)
         st, _ = roundtrip(plan, st, blk)
         want.append(np.asarray(hd))
-    np.testing.assert_allclose(dfts, np.concatenate(want), atol=1e-12)
+    want = np.concatenate(want)
+    atol = 1e-12 if jax.config.jax_enable_x64 else 1e-6 * np.abs(want).max()
+    np.testing.assert_allclose(dfts, want, atol=atol)
 
     snr = roundtrip_snr_db(x, y, plan)
     print(f"m={dftsize} hop={hop}: {x.size} samples, "

@@ -185,7 +185,10 @@ def roundtrip_hopped(plan: Plan, state: State, blocks, hop: int,
     stack of blocks in ONE compiled program (one dispatch, one fetch).
 
     The fast path for the reference's hop-chunked streaming usage
-    (test/test.c:69-83).  See ops.lti.roundtrip_hopped_chain.
+    (test/test.c:69-83).  See ops.lti.roundtrip_hopped_chain.  On TPU
+    backends hop == 1 runs ONE fused Pallas launch per block (spectra +
+    synthesis; the spectra carry the in-kernel mxu2 cumsum class, ~7e-6
+    relative worst-case — ops.lti._chain_hop1_pallas_jit).
 
     Args:
       plan: static plan.
