@@ -7,6 +7,7 @@ from .sharded import (
     sharded_isdft,
     sharded_roundtrip,
     sharded_roundtrip_hopped,
+    sharded_roundtrip_pallas,
     sharded_sdft,
     sharded_sdft_pallas,
     sharded_sdft_hopped,
@@ -24,6 +25,7 @@ __all__ = [
     "sharded_isdft",
     "sharded_roundtrip",
     "sharded_roundtrip_hopped",
+    "sharded_roundtrip_pallas",
     "state_sharding",
     "STATE_SPECS",
     "SAMPLE_SPEC",

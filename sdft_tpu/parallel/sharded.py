@@ -885,7 +885,7 @@ def sharded_roundtrip(plan: Plan, mesh: Mesh, state: State, samples,
 
 def _forward_local_pallas(state: State, samples, *, plan: Plan,
                           m_total: int, layout: str, spectra_dtype,
-                          interpret: bool):
+                          interpret: bool, emit_y: bool = False):
     """Per-device body for the time-sharded Pallas spectra program.
 
     Each time shard derives its block-start accumulator from the 2m-sample
@@ -918,11 +918,25 @@ def _forward_local_pallas(state: State, samples, *, plan: Plan,
         plan, State(offset=off_d, delayline=hist.astype(td),
                     accumulator=zero_acc), fd)
 
-    def one(st1, x):
-        return forward_block_pallas(plan, st1, x, interpret=interpret,
-                                    layout=layout, out_dtype=spectra_dtype)
+    if emit_y:
+        # hop=1 driver protocol at scale: ONE fused kernel per shard emits
+        # every sample's spectrum AND the synthesized samples (the same
+        # forward_and_y_pallas launch as the single-chip hop=1 chain)
+        from ..kernels import forward_and_y_pallas
 
-    _, dfts = jax.vmap(one)(st0, samples)
+        def one_y(st1, x):
+            _, hd, y = forward_and_y_pallas(plan, st1, x,
+                                            interpret=interpret)
+            return hd, y
+
+        dfts, ys = jax.vmap(one_y)(st0, samples)
+    else:
+        def one(st1, x):
+            return forward_block_pallas(plan, st1, x, interpret=interpret,
+                                        layout=layout,
+                                        out_dtype=spectra_dtype)
+
+        _, dfts = jax.vmap(one)(st0, samples)
 
     # global end state (identical on every device): the stream tail plus
     # the end accumulator from the same refresh identity
@@ -935,25 +949,31 @@ def _forward_local_pallas(state: State, samples, *, plan: Plan,
         offset=off_end,
         delayline=new_delayline.astype(td),
         accumulator=st_end.accumulator.astype(state.accumulator.dtype))
+    if emit_y:
+        return new_state, dfts, ys
     return new_state, dfts
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6, 7))
 def _sharded_sdft_pallas_jit(plan: Plan, mesh: Mesh, state, samples,
-                             layout: str, spectra_dtype, interpret: bool):
+                             layout: str, spectra_dtype, interpret: bool,
+                             emit_y: bool = False):
     m_total = samples.shape[-1]
     body = functools.partial(_forward_local_pallas, plan=plan,
                              m_total=m_total, layout=layout,
                              spectra_dtype=spectra_dtype,
-                             interpret=interpret)
+                             interpret=interpret, emit_y=emit_y)
     if layout == "planar":
         dft_spec = (P("channel", "time", None),) * 2
     else:
         dft_spec = P("channel", "time", None, None)
+    out_specs = (STATE_SPECS, dft_spec)
+    if emit_y:
+        out_specs = out_specs + (SAMPLE_SPEC,)
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(STATE_SPECS, SAMPLE_SPEC),
-        out_specs=(STATE_SPECS, dft_spec),
+        out_specs=out_specs,
         check_vma=False,
     )(state, samples)
 
@@ -997,3 +1017,38 @@ def sharded_sdft_pallas(plan: Plan, mesh: Mesh, state: State, samples,
                          "use sharded_sdft")
     return _sharded_sdft_pallas_jit(plan, mesh, state, samples, layout,
                                     spectra_dtype, interpret)
+
+
+def sharded_roundtrip_pallas(plan: Plan, mesh: Mesh, state: State, samples,
+                             interpret: bool = False):
+    """hop=1 driver protocol at scale: every sample's spectrum AND the
+    synthesized round trip over the mesh, ONE fused Pallas launch per time
+    shard (forward_and_y_pallas — the same kernel as the single-chip
+    hop=1 chain, ops.lti._chain_hop1_pallas_jit).
+
+    Same carry scheme as sharded_sdft_pallas: each shard rebuilds its
+    block-start accumulator from the 2m comb history it already receives
+    (refresh identity), so the only collective is _comb_history's
+    exchange — both the O(M*m) spectra write (the path's roofline) and
+    the synthesis scale linearly across the ``time`` axis.  Requires a
+    bins=1 mesh and a Pallas-feasible plan.
+
+    Returns (state, dfts, ys): dfts packed (C, M, m, 2) sharded
+    (channel, time); ys (C, M) sharded the same.  Spectra carry the
+    kernel's mxu2 in-kernel cumsum class (~7e-6 relative worst-case,
+    scripts/exp_hop1.py); the reference's 1-sample-hop efficiency claim
+    (README.md:18), multi-chip.
+    """
+    from ..kernels import plan_supported
+
+    samples = jnp.asarray(samples)
+    C, M = samples.shape
+    _check_layout(plan, mesh, C, M)
+    ax = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if ax["bins"] != 1:
+        raise ValueError("sharded_roundtrip_pallas shards time/channel "
+                         "only (bins=1 meshes)")
+    if not plan_supported(plan, M):
+        raise ValueError(f"plan {plan} outside the Pallas fast path")
+    return _sharded_sdft_pallas_jit(plan, mesh, state, samples, "packed",
+                                    None, interpret, True)

@@ -480,3 +480,46 @@ def test_sharded_pallas_spectra_matches_unsharded(axes):
     with pytest.raises(ValueError, match="bin-sharded"):
         sharded_sdft_pallas(plan, make_mesh(channel=1, time=1, bins=8),
                             init_state(plan, channels=C), x[:, :M])
+
+
+@pytest.mark.parametrize("axes", [
+    dict(channel=1, time=8, bins=1),
+    dict(channel=2, time=4, bins=1),
+], ids=lambda a: "x".join(map(str, a.values())))
+def test_sharded_roundtrip_pallas_matches_unsharded(axes):
+    """hop=1 driver protocol at scale (one fused kernel launch per time
+    shard: all spectra + synthesis, carry from the comb history) vs the
+    unsharded XLA forward and collapsed round trip, chained across two
+    segments."""
+    from sdft_tpu import Precision, sdft
+    from sdft_tpu.ops.lti import roundtrip_block_lti
+    from sdft_tpu.parallel import make_mesh, sharded_roundtrip_pallas
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    F32 = Precision("float32", "float32")
+    plan = Plan(256, window="hann", precision=F32)
+    C, M = 2, 8 * 256
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((C, 2 * M)) * 0.25).clip(-1, 1).astype(np.float32)
+    mesh = make_mesh(**axes)
+
+    st = init_state(plan, channels=C)
+    st_r = init_state(plan, channels=C)
+    st_y = init_state(plan, channels=C)
+    for seg in (x[:, :M], x[:, M:]):
+        st, d, y = sharded_roundtrip_pallas(plan, mesh, st, seg,
+                                            interpret=True)
+        st_r, d_r = sdft(plan, st_r, seg)
+        st_y, y_r = roundtrip_block_lti(plan, st_y, seg)
+        scale = np.abs(np.asarray(d_r)).max()
+        np.testing.assert_allclose(np.asarray(d), np.asarray(d_r),
+                                   atol=5e-6 * max(1.0, scale))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_r),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(st.accumulator),
+                                   np.asarray(st_r.accumulator), atol=5e-4)
+
+    with pytest.raises(ValueError, match="bins=1"):
+        sharded_roundtrip_pallas(plan, make_mesh(channel=1, time=1, bins=8),
+                                 init_state(plan, channels=C), x[:, :M])
