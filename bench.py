@@ -111,11 +111,12 @@ def bench_tpu():
                 for _ in range(captures)]
         pers = [r[0] for r in runs]
         med = sorted(pers)[len(pers) // 2]
-        # anchor times from the MEDIAN capture, so the logged chain times
-        # are the ones the headline marginal was computed from (not the
-        # last capture's, which may be the scheduler-poisoned one)
-        _, _, t_lo, t_hi = runs[pers.index(med)]
-        return med, max(r[1] for r in runs), min(pers), max(pers), t_lo, t_hi
+        # anchors AND signal from the MEDIAN capture, so the logged row is
+        # internally consistent — one capture's marginal, chain times and
+        # signal together (not the last capture's times or a lucky
+        # capture's signal)
+        _, sig, t_lo, t_hi = runs[pers.index(med)]
+        return med, sig, min(pers), max(pers), t_lo, t_hi
 
     # headline: the collapsed LTI round trip (sdft_tpu.ops.lti) — all FLOPs
     # on the MXU, spectra never materialized (the no-transform fast path)

@@ -5,9 +5,11 @@ parameters (c/src/sdft/sdft.h:21-37,101-125).  This framework mirrors
 them as `Precision` configurations and adds the TPU-native extended tier:
 
   * float32 fast path       — the throughput configuration (~2e-8..5e-7)
-  * float32 + refresh       — drift-free endless streams (default chains)
   * float32x2 (double-word) — f64-class spectra WITHOUT float64 hardware
-  * float64                 — CPU parity mode (x64)
+
+(The framework's remaining tiers — float64 JAX compute for CPU x64
+parity runs, and the refresh cadence for drift-free endless streams —
+are exercised by the CLI parity mode and tests/test_refresh.py.)
 
 Each tier's forward spectra are compared against the native C++ engine
 computing in true float64 (the same differential oracle the test suite

@@ -115,6 +115,13 @@ def main(argv=None) -> int:
 
     ys = []
     hop_dfts = []
+    # segment cap shared by both branches: <= 32 chained blocks per
+    # compiled program AND <= _SUPER_DFT_BYTES of staged hop-DFT output
+    # per dispatch (degenerate hops emit a spectrum per few samples, so
+    # uncapped segments could stage multi-GB outputs)
+    bin_bytes = 8 if fd == "float32" else 16  # packed re/im pair
+    bytes_per_block = max(1, (block // hopsize) * dftsize * bin_bytes)
+    nb_cap = int(min(32, max(1, _SUPER_DFT_BYTES // bytes_per_block)))
     t0 = time.perf_counter()
     if mesh is not None:
         # ONE fused sharded program per segment (a lax.scan of fused
@@ -127,13 +134,7 @@ def main(argv=None) -> int:
         state = init_state(plan, channels=1)
         progress = 0
         mesh_size = (size // block) * block  # whole sharded blocks
-        bin_bytes = 8 if fd == "float32" else 16  # packed re/im pair
-        bytes_per_block = max(1, (block // hopsize) * dftsize * bin_bytes)
-        # cap staged hop-DFT bytes per dispatch like the single-device
-        # branch below — degenerate hops emit a spectrum per few samples,
-        # so 32 uncapped blocks could stage multi-GB outputs
-        nb = int(min(32, max(1, mesh_size // block),
-                     max(1, _SUPER_DFT_BYTES // bytes_per_block)))
+        nb = min(nb_cap, max(1, mesh_size // block))
         seg = nb * block
         for i in range(0, mesh_size, seg):
             chunk = x[i:i + seg]
@@ -173,12 +174,9 @@ def main(argv=None) -> int:
         # padding only influences carry state past the end of the stream,
         # and outputs are truncated back to the true size below.
         state = init_state(plan)
-        bin_bytes = 8 if fd == "float32" else 16  # packed re/im pair
-        bytes_per_block = max(1, (block // hopsize) * dftsize * bin_bytes)
         # cap segments by the actual stream too: short WAVs must not be
         # zero-padded to a full 32-block segment of wasted compute
-        nb = int(min(32, max(1, -(-size // block)),
-                     max(1, _SUPER_DFT_BYTES // bytes_per_block)))
+        nb = min(nb_cap, max(1, -(-size // block)))
         seg = nb * block
         padded = -(-size // seg) * seg
         xp = np.zeros(padded, x.dtype)
