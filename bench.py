@@ -337,15 +337,29 @@ def bench_tpu():
     log(f"scaling projection (v5e ICI model, t_fixed={fixed_us:.0f} us, "
         f"{slope_ns:.2f} ns/sample): strong {proj['strong']}, "
         f"weak {proj['weak']}")
-    # two captures, min-time estimator per leg: min t1 and min t2 are the
+    # wall-clock-guarded captures, min-time estimator per leg: min t1
+    # and min t2 are the
     # least-contended runs (the parent bench process shares this 2-core
     # host, so any single capture can be scheduler-poisoned in either
     # direction — best-of-N *efficiency* would bias upward instead).
     # Readings > 1.0 are cache superlinearity (the halved per-device
     # block fits L2 where the full block spills) on top of a collective
     # cost below the noise floor — see docs/PERF.md round-5.
-    caps = [r for r in (measure_scaling_proxy(1000, 131072)
-                        for _ in range(2)) if r]
+    # block 131072 is the regime where per-device compute amortizes the
+    # per-block collective/dispatch fixed costs (at 65536/device-half the
+    # measured "efficiency" collapses to ~0.3 — fixed costs, not
+    # collectives, dominate and the number stops reflecting the
+    # deployment shape).  The wall-clock guard bounds the phase on a
+    # loaded host so the CPU side-measurement never blows the bench's
+    # total budget.
+    caps = []
+    t_proxy0 = time.perf_counter()
+    for _ in range(3):
+        r = measure_scaling_proxy(1000, 131072)
+        if r:
+            caps.append(r)
+        if time.perf_counter() - t_proxy0 > 150:
+            break
     proxy = None
     if caps:
         t1 = min(r["t1_ms"] for r in caps)

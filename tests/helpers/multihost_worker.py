@@ -85,6 +85,19 @@ def main():
     _, d2ref = _sdft(plan2, init_state(plan2, channels=1), x2)
     np.testing.assert_allclose(d2h, np.asarray(d2ref), atol=5e-6)
 
+    # hop=1 roundtrip protocol (spectra + synthesis per shard) across the
+    # same cross-process mesh
+    from sdft_tpu.parallel import sharded_roundtrip_pallas
+
+    st3 = State(*[multihost.global_array(mesh2, spec, np.asarray(leaf))
+                  for leaf, spec in zip(init_state(plan2, channels=1),
+                                        STATE_SPECS)])
+    st3, d3, y3 = sharded_roundtrip_pallas(plan2, mesh2, st3, x2g,
+                                           interpret=True)
+    y3h = multihost_utils.process_allgather(y3, tiled=True)
+    _, y3ref = roundtrip_block_lti(plan2, init_state(plan2, channels=1), x2)
+    np.testing.assert_allclose(y3h, np.asarray(y3ref), atol=1e-4)
+
     with open(os.path.join(out_dir, f"ok{pid}"), "w") as f:
         f.write("OK")
     print(f"worker {pid}: OK", flush=True)
